@@ -1,0 +1,223 @@
+"""Unified command-line interface.
+
+The reference scatters entry points over bin/ and scripts/ (SURVEY.md L6);
+here one CLI exposes the full workflow with subcommands, honoring the
+reference's flag semantics (dest names match get_args, main_ct_vae.py:30-116):
+
+  python -m ct_pvae_tpu.cli make-data --img-type foam -n 100
+  python -m ct_pvae_tpu.cli train --input_path dataset_foam --save_path run --train ...
+  python -m ct_pvae_tpu.cli merit --input_path dataset_foam --save_path run --pnm 1e4
+  python -m ct_pvae_tpu.cli mcmc --save_path run
+  python -m ct_pvae_tpu.cli visualize --input_path dataset_foam --save_path run --en 0
+  python -m ct_pvae_tpu.cli boxplot --save_paths run1 run2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .config import Config
+
+
+def _add_train_args(p: argparse.ArgumentParser) -> None:
+    """Reference flags (main_ct_vae.py:30-116), same dests and defaults."""
+    a = p.add_argument
+    a("--ae", type=float, dest="adam_epsilon", default=1e-7)
+    a("-b", type=int, dest="batch_size", default=4)
+    a("--ns", type=int, dest="num_samples", default=2)
+    a("--det", action="store_true", dest="deterministic")
+    a("--dp", type=float, dest="dropout_prob", default=0.0)
+    a("--en", type=int, dest="example_num", default=0)
+    a("-i", type=int, dest="num_iter", default=100)
+    a("--ik", type=int, dest="intermediate_kernel", default=4)
+    a("--il", type=int, dest="intermediate_layers", default=2)
+    a("--input_path", dest="input_path")
+    a("--klaf", type=float, dest="kl_anneal_factor", default=1.0)
+    a("--klm", type=float, dest="kl_multiplier", default=1.0)
+    a("--ks", type=int, dest="kernel_size", default=4)
+    a("--lr", type=float, dest="learning_rate", default=1e-4)
+    a("--nb", type=int, dest="num_blocks", default=3)
+    a("--nfm", type=int, dest="num_feature_maps", default=20)
+    a("--nfmm", type=float, dest="num_feature_maps_multiplier", default=1.1)
+    a("--norm", type=float, dest="norm", default=100.0)
+    a("--normal", action="store_true", dest="use_normal")
+    a("--nsa", type=int, dest="num_sparse_angles", default=10)
+    a("--api", type=int, dest="angles_per_iter", default=5)
+    a("--pnm", type=float, dest="poisson_noise_multiplier", default=(2**16 - 1) * 0.41)
+    a("--pnm_start", type=float, dest="pnm_start", default=None)
+    a("--train_pnm", action="store_true", dest="train_pnm")
+    a("-r", type=int, dest="restore_num", default=None)
+    a("--random", action="store_true", dest="random_angles")
+    a("--restore", action="store_true", dest="restore")
+    a("--save_path", dest="save_path")
+    a("--se", type=int, dest="stride_encode", default=2)
+    a("--si", type=int, dest="save_interval", default=100000)
+    a("--td", type=int, dest="truncate_dataset", default=100)
+    a("--train", action="store_true", dest="train")
+    a("--ulc", action="store_true", dest="use_latest_ckpt")
+    a("--visualize", action="store_true", dest="visualize")
+    a("--pixel_dist", action="store_true", dest="pixel_dist")
+    a("--real", action="store_true", dest="real_data")
+    a("--no_pad", action="store_true", dest="no_pad")
+    a("--toy_masks", action="store_true", dest="toy_masks")
+    a("--algorithms", nargs="+", default=["gridrec"])
+    a("--no_final_eval", action="store_true", dest="no_final_eval")
+    a("--seed", type=int, dest="seed", default=0)
+    a("--mesh_data", type=int, dest="mesh_data", default=1)
+    a("--mesh_angle", type=int, dest="mesh_angle", default=1)
+    a("--config", dest="config_file", default=None, help="YAML/JSON config file")
+
+
+def _cfg_from_args(args: argparse.Namespace) -> Config:
+    d = vars(args).copy()
+    d.pop("command", None)
+    config_file = d.pop("config_file", None)
+    if config_file:
+        base = Config.load(config_file).to_dict()
+        base.update({k: v for k, v in d.items() if v is not None})
+        d = base
+    d = {k: v for k, v in d.items() if k in Config.__dataclass_fields__}
+    return Config.from_dict(d)
+
+
+def cmd_make_data(argv) -> int:
+    p = argparse.ArgumentParser(prog="make-data")
+    p.add_argument("--img-type", choices=["foam", "toy"], default="foam")
+    p.add_argument("-n", "--num-train", type=int, default=100)
+    p.add_argument("--num-angles", type=int, default=180)
+    p.add_argument("--n-pixel", type=int, default=128)
+    p.add_argument("--save-path", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    from .data.sinogram import make_dataset
+
+    save = args.save_path or (
+        "dataset_foam" if args.img_type == "foam" else "dataset_toy_discrete2"
+    )
+    images, sinos, theta = make_dataset(
+        args.img_type, args.num_train, save_path=save,
+        num_angles=args.num_angles, n_pixel=args.n_pixel, seed=args.seed,
+    )
+    print(f"Shape of sinograms: {sinos.shape}")
+    print(f"Shape of original training images: {images.shape}")
+    print(f"Saved under {save}/")
+    return 0
+
+
+def cmd_train(argv) -> int:
+    p = argparse.ArgumentParser(prog="train")
+    _add_train_args(p)
+    args = p.parse_args(argv)
+    cfg = _cfg_from_args(args)
+    from .vi.train import run
+
+    loss_final_mean = run(cfg)
+    print(f"Average loss final : {loss_final_mean}")
+    if cfg.visualize:
+        from .eval.visualize import visualize_run
+
+        visualize_run(cfg)
+    if cfg.pixel_dist:
+        from .eval.pixel_dist import pixel_dist_run
+
+        pixel_dist_run(cfg)
+    return 0
+
+
+def cmd_merit(argv) -> int:
+    p = argparse.ArgumentParser(prog="merit")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--pnm", type=float, dest="poisson_noise_multiplier", required=True)
+    args = p.parse_args(argv)
+    import os
+
+    from .data import io as data_io
+    from .eval.merit import final_merit
+
+    sinos, theta, _ = data_io.load_dataset(args.input_path)
+    gt = data_io.load_ground_truth(args.input_path)
+    rec = np.load(os.path.join(args.save_path, "reconstruction_final.npy"))
+    masks = np.load(os.path.join(args.save_path, "all_masks.npy"))
+    proj = np.load(os.path.join(args.save_path, "all_proj_samples.npy"))
+    final_merit(
+        gt, sinos, masks, proj, rec, theta,
+        args.poisson_noise_multiplier, save_path=args.save_path,
+    )
+    return 0
+
+
+def cmd_mcmc(argv) -> int:
+    p = argparse.ArgumentParser(prog="mcmc")
+    p.add_argument("--save_path", required=True, help="path of the VAE run (masks live there)")
+    p.add_argument("-s", type=int, dest="number_of_steps", default=200000)
+    p.add_argument("-b", type=int, dest="burnin", default=50000)
+    p.add_argument("--en", type=int, dest="example_num", default=0)
+    p.add_argument("--pnm", type=float, default=1e3)
+    p.add_argument("--chains", type=int, default=8)
+    p.add_argument("--sampler", choices=["hmc", "nuts", "smc"], default="hmc")
+    args = p.parse_args(argv)
+    from .eval.mcmc_run import run_toy_mcmc
+
+    run_toy_mcmc(
+        save_path=args.save_path,
+        number_of_steps=args.number_of_steps,
+        burnin=args.burnin,
+        example_num=args.example_num,
+        poisson_noise_multiplier=args.pnm,
+        num_chains=args.chains,
+        sampler=args.sampler,
+    )
+    return 0
+
+
+def cmd_visualize(argv) -> int:
+    p = argparse.ArgumentParser(prog="visualize")
+    _add_train_args(p)
+    args = p.parse_args(argv)
+    cfg = _cfg_from_args(args)
+    from .eval.visualize import visualize_run
+
+    visualize_run(cfg)
+    return 0
+
+
+def cmd_boxplot(argv) -> int:
+    p = argparse.ArgumentParser(prog="boxplot")
+    p.add_argument("--save_paths", nargs="+", required=True)
+    p.add_argument("--out", default=".")
+    args = p.parse_args(argv)
+    from .eval.boxplot import make_box_plots
+
+    make_box_plots(args.save_paths, args.out)
+    return 0
+
+
+COMMANDS = {
+    "make-data": cmd_make_data,
+    "train": cmd_train,
+    "merit": cmd_merit,
+    "mcmc": cmd_mcmc,
+    "visualize": cmd_visualize,
+    "boxplot": cmd_boxplot,
+}
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(COMMANDS))
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; options: {', '.join(COMMANDS)}")
+        return 2
+    return COMMANDS[cmd](rest)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,189 @@
+"""Single typed configuration for the whole framework.
+
+The reference threads 38 argparse flags plus ``**kwargs`` through every method,
+re-declaring defaults in six different signatures (see reference
+ctvae/main_ct_vae.py:30-116 and SURVEY.md §5.6).  Here there is exactly one
+config object: a frozen dataclass, YAML-loadable and CLI-overridable.  Field
+names and defaults intentionally match the reference flags (dest names) so a
+reference user can port a command line one-to-one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- paths / modes (ref main_ct_vae.py:51-52, 85-88, 95-115) ---
+    input_path: Optional[str] = None          # folder with training data
+    save_path: Optional[str] = None           # folder for run artifacts
+    train: bool = False                       # --train
+    visualize: bool = False                   # --visualize
+    pixel_dist: bool = False                  # --pixel_dist
+    no_final_eval: bool = False               # --no_final_eval
+    real_data: bool = False                   # --real
+    restore: bool = False                     # --restore
+    restore_num: Optional[int] = None         # -r
+    use_latest_ckpt: bool = False             # --ulc
+
+    # --- data / measurement model (ref main_ct_vae.py:71-84, 93-94, 107-112) ---
+    truncate_dataset: int = 100               # --td
+    num_sparse_angles: int = 10               # --nsa
+    angles_per_iter: int = 5                  # --api (stochastic angle subsampling)
+    poisson_noise_multiplier: float = (2**16 - 1) * 0.41   # --pnm
+    pnm_start: Optional[float] = None         # --pnm_start (anneals to pnm)
+    train_pnm: bool = False                   # --train_pnm
+    random_angles: bool = False               # --random (random vs uniform masks)
+    toy_masks: bool = False                   # --toy_masks
+    no_pad: bool = False                      # --no_pad
+    algorithms: List[str] = field(default_factory=lambda: ["gridrec"])  # --algorithms
+
+    # --- model architecture (ref main_ct_vae.py:47-50, 57-66, 89-90) ---
+    num_blocks: int = 3                       # --nb
+    num_feature_maps: int = 20                # --nfm
+    num_feature_maps_multiplier: float = 1.1  # --nfmm
+    kernel_size: int = 4                      # --ks
+    stride_encode: int = 2                    # --se
+    intermediate_layers: int = 2              # --il
+    intermediate_kernel: int = 4              # --ik
+    dropout_prob: float = 0.0                 # --dp
+    use_normal: bool = True                   # --normal (Normal vs Beta latents/output)
+    deterministic: bool = False               # --det
+
+    # --- training (ref main_ct_vae.py:33-46, 53-60, 67-68, 91-92) ---
+    batch_size: int = 4                       # -b
+    num_iter: int = 100                       # -i
+    num_samples: int = 2                      # --ns (ELBO samples)
+    learning_rate: float = 1e-4               # --lr
+    adam_epsilon: float = 1e-7                # --ae
+    kl_anneal_factor: float = 1.0             # --klaf
+    kl_multiplier: float = 1.0                # --klm
+    norm: float = 100.0                       # --norm (per-tensor grad clip)
+    save_interval: int = 100000               # --si
+    example_num: int = 0                      # --en (visualization example)
+
+    # --- rebuild-only knobs (no reference equivalent) ---
+    seed: int = 0                             # explicit PRNG seed (ref: np.random.seed(0))
+    # Encoder input scaling and loss scaling are quirks preserved from the
+    # reference (helper_functions.py:239 `/300`, main_ct_vae.py:478 `/1e5`).
+    input_encode_scale: float = 300.0
+    loss_scale: float = 1e5
+    # Mesh axis sizes for multi-chip runs; 1 means "use all available" is NOT
+    # implied — sizes multiply to the device count used.
+    mesh_data: int = 1                        # data-parallel axis size
+    mesh_angle: int = 1                       # angle-sharding axis size
+    # Where compute happens: "auto" uses the default backend.
+    use_pallas: bool = True                   # use Pallas projector kernels on TPU
+    # Conv-stack compute dtype; "bfloat16" targets the TPU MXU at full rate
+    # (params stay float32; distribution math stays float32).
+    compute_dtype: str = "float32"
+    buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
+    metrics_every: int = 1                    # record loss every N iters
+
+    # ---- derived helpers ----
+    @property
+    def feature_maps_multiplier(self) -> int:
+        # ref main_ct_vae.py:296-299 — probabilistic models double channels
+        return 1 if self.deterministic else 2
+
+    @property
+    def num_algorithms(self) -> int:
+        return len(self.algorithms)
+
+    def feature_map_counts(self) -> List[int]:
+        # ref main_ct_vae.py:295
+        return [
+            int(self.num_feature_maps * self.num_feature_maps_multiplier**i)
+            for i in range(self.num_blocks)
+        ]
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # ---- serialization ----
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - names
+        if unknown:
+            raise ValueError(f"Unknown config keys: {sorted(unknown)}")
+        return cls(**d)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+
+                d = yaml.safe_load(f)
+            else:
+                d = json.load(f)
+        return cls.from_dict(d)
+
+
+# Recipe presets mirroring the reference's documented runs (README.md:73-221,
+# BASELINE.md).  These are starting points; everything is overridable.
+def toy_config(**kw: Any) -> Config:
+    # README.md:199 toy recipe flags
+    base = dict(
+        truncate_dataset=1024,
+        batch_size=4,
+        num_sparse_angles=1,
+        angles_per_iter=2,
+        num_samples=10,
+        toy_masks=True,
+        no_pad=True,
+        use_normal=True,
+        poisson_noise_multiplier=1e4,
+        pnm_start=1e3,
+        intermediate_kernel=2,
+        intermediate_layers=5,
+        kernel_size=2,
+        num_blocks=3,
+        stride_encode=1,
+        algorithms=["gridrec"],
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def foam_quick_config(**kw: Any) -> Config:
+    base = dict(
+        truncate_dataset=50,
+        batch_size=5,
+        num_iter=1000,
+        num_sparse_angles=20,
+        poisson_noise_multiplier=1e4,
+        algorithms=["gridrec"],
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def foam_paper_config(**kw: Any) -> Config:
+    # README.md:221 foam paper recipe flags
+    base = dict(
+        truncate_dataset=1000,
+        batch_size=10,
+        num_iter=100000,
+        num_sparse_angles=20,
+        angles_per_iter=20,
+        num_samples=2,
+        random_angles=True,
+        poisson_noise_multiplier=1e4,
+        pnm_start=1e3,
+        algorithms=["sirt", "tv", "fbp", "gridrec"],
+    )
+    base.update(kw)
+    return Config(**base)

@@ -1,0 +1,97 @@
+"""Sparse-angle masks + dose-preserving normalization + Poisson measurement noise.
+
+Semantics match reference ctvae/create_masks.py:16-107:
+
+  * toy masks: fixed alternating [1,0]/[0,1] patterns (:37-42)
+  * --random: a random ``num_sparse_angles``-subset of angles per example (:51)
+  * default: uniform spacing ``ceil(A/nsa)`` starting at index 0 (:55-59)
+  * masks are scaled by 1/num_sparse_angles so total dose is constant (:61)
+  * measurements: true Poisson, ``Poisson(proj*mask*pnm)/pnm`` (:94-95)
+  * real data skips noise (:83-84)
+
+Differences by design: explicit PRNG keys instead of module-import-time
+``np.random.seed(0)`` (:14), and the whole batch is noised in one vectorized
+draw on the accelerator.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_masks(
+    num_examples: int,
+    num_angles: int,
+    num_sparse_angles: int,
+    random: bool = False,
+    toy_masks: bool = False,
+    seed: int = 0,
+) -> np.ndarray:
+    """(N, A) float mask array, scaled by 1/num_sparse_angles."""
+    if toy_masks:
+        base = np.array([[1, 0], [0, 1], [1, 0], [0, 1]], np.float32)
+        reps = int(np.ceil(num_examples / 4))
+        masks = np.tile(base, (reps, 1))[:num_examples]
+        return masks / 1.0  # toy uses nsa=1 per pattern row
+
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((num_examples, num_angles), np.float32)
+    if random:
+        for i in range(num_examples):
+            idx = rng.permutation(num_angles)[:num_sparse_angles]
+            masks[i, idx] = 1.0
+    else:
+        spacing = int(np.ceil(num_angles / num_sparse_angles))
+        idx = (np.arange(num_sparse_angles) * spacing) % num_angles
+        masks[:, idx] = 1.0
+    return masks / num_sparse_angles
+
+
+def create_all_masks(
+    x_train_sinograms: np.ndarray,
+    num_angles: int,
+    save_path: Optional[str] = None,
+    poisson_noise_multiplier: float = 1e3,
+    num_sparse_angles: int = 10,
+    random: bool = False,
+    real_data: bool = False,
+    train: bool = False,
+    truncate_dataset: int = 100,
+    toy_masks: bool = False,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build (or reload) masks and noisy sparse measurements.
+
+    Returns (all_masks (N, A), all_proj_samples (N, A, P)); persists both under
+    ``save_path`` per the artifact contract (create_masks.py:72, :103).
+    """
+    sinos = np.asarray(x_train_sinograms[:truncate_dataset], np.float32)
+    sinos = np.clip(sinos, 0.0, None)
+    n = sinos.shape[0]
+
+    if not train and save_path is not None:
+        all_masks = np.load(os.path.join(save_path, "all_masks.npy"))
+        all_proj_samples = np.load(os.path.join(save_path, "all_proj_samples.npy"))
+        return all_masks, all_proj_samples
+
+    all_masks = make_masks(n, num_angles, num_sparse_angles, random, toy_masks, seed)
+    proj_masked = sinos * all_masks[:, :, None]
+
+    if real_data:
+        all_proj_samples = proj_masked
+    else:
+        key = jax.random.PRNGKey(seed)
+        rate = jnp.asarray(proj_masked) * poisson_noise_multiplier
+        draws = jax.random.poisson(key, rate).astype(jnp.float32)
+        all_proj_samples = np.asarray(draws) / poisson_noise_multiplier
+
+    if save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        np.save(os.path.join(save_path, "all_masks.npy"), all_masks)
+        np.save(os.path.join(save_path, "all_proj_samples.npy"), all_proj_samples)
+    return all_masks, all_proj_samples

@@ -1,0 +1,111 @@
+"""Classical-reconstruction encoder inputs (the "iradon_all" stage).
+
+The reference runs tomopy's C kernels over the whole dataset at setup
+(helper_functions.py:477-529): for each algorithm in ``--algorithms`` it
+reconstructs the mask-unnormalized sparse sinograms, crops, and appends one
+extra channel — an unfiltered FBP of the mask itself (:514-516).  Here every
+algorithm is a jit-compiled JAX op from ct_pvae_tpu.ops running batched on the
+accelerator:
+
+  gridrec -> FBP with ramp filter (tomopy's gridrec is FFT-regridding FBP)
+  fbp     -> FBP with shepp-logan filter (tomopy's fbp default)
+  sirt    -> lax.scan SIRT
+  tv      -> Chambolle-Pock TV
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fbp import fbp
+from ..ops.sirt import sirt
+from ..ops.tv import tv_reconstruct
+
+_EPS = float(np.finfo(np.float32).eps)
+
+
+def crop_center(img: np.ndarray, final_x: int, final_y: int):
+    """Center crop of trailing two dims (reference helper_functions.py:420-430)."""
+    x, y = img.shape[-2], img.shape[-1]
+    rx, ry = final_x % 2, final_y % 2
+    return img[
+        ...,
+        x // 2 - final_x // 2 : x // 2 + final_x // 2 + rx,
+        y // 2 - final_y // 2 : y // 2 + final_y // 2 + ry,
+    ]
+
+
+def _recon(algorithm: str, sino, theta, size: int):
+    if algorithm == "gridrec":
+        return fbp(sino, theta, size, size, "ramp")
+    if algorithm == "fbp":
+        return fbp(sino, theta, size, size, "shepp-logan")
+    if algorithm == "sirt":
+        return sirt(sino, theta, size, size, num_iter=30)
+    if algorithm == "tv":
+        return tv_reconstruct(sino, theta, size, size, num_iter=60)
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def classical_recon_stack(
+    all_proj_samples: np.ndarray,
+    all_masks: np.ndarray,
+    theta: np.ndarray,
+    algorithms: List[str],
+    x_size: int,
+    y_size: int,
+    save_path: Optional[str] = None,
+    train: bool = True,
+    batch: int = 32,
+) -> np.ndarray:
+    """Build the (N, x, y, num_algorithms+1) encoder-input stack.
+
+    Mirrors iradon_all: measurements are un-normalized by the mask where the
+    mask is nonzero (helper_functions.py:494-499), each algorithm reconstructs
+    the full-angle sinogram (zeros at unmeasured angles), and the final channel
+    is the unfiltered backprojection of the mask itself (:514-516).  Cached to
+    ``all_input_encode.npy`` (:525-527).
+    """
+    if not train and save_path is not None:
+        return np.load(os.path.join(save_path, "all_input_encode.npy"))
+
+    proj = np.asarray(all_proj_samples, np.float32)
+    masks = np.asarray(all_masks, np.float32)
+    theta_j = jnp.asarray(theta, jnp.float32)
+    n, a, p = proj.shape
+
+    mask_expand = np.repeat(masks[:, :, None], p, axis=-1)
+    unnorm = np.where(mask_expand > _EPS, proj / np.where(mask_expand > _EPS, mask_expand, 1.0), proj)
+
+    size = p  # reconstruct at detector resolution, then crop (like tomopy)
+
+    @jax.jit
+    def recon_batch(sino_b, mask_b):
+        chans = [_recon(alg, sino_b, theta_j, size) for alg in algorithms]
+        chans.append(fbp(mask_b, theta_j, size, size, "none"))
+        return jnp.stack(chans, axis=-1)  # (B, size, size, C)
+
+    outs = []
+    for i in range(0, n, batch):
+        sino_b = jnp.asarray(unnorm[i : i + batch])
+        mask_b = jnp.asarray(mask_expand[i : i + batch])
+        pad_n = 0
+        if sino_b.shape[0] < batch:
+            pad_n = batch - sino_b.shape[0]
+            sino_b = jnp.pad(sino_b, ((0, pad_n), (0, 0), (0, 0)))
+            mask_b = jnp.pad(mask_b, ((0, pad_n), (0, 0), (0, 0)))
+        out = np.asarray(recon_batch(sino_b, mask_b))
+        outs.append(out[: batch - pad_n] if pad_n else out)
+    stack = np.concatenate(outs, axis=0)
+    stack = crop_center(np.moveaxis(stack, -1, 1), x_size, y_size)  # (N, C, x, y)
+    stack = np.moveaxis(stack, 1, -1).astype(np.float32)  # (N, x, y, C)
+
+    if save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        np.save(os.path.join(save_path, "all_input_encode.npy"), stack)
+    return stack

@@ -1,0 +1,101 @@
+"""Dataset-wide merit evaluation (the final_merit stage).
+
+Reference bin/final_merit.py: compares, over the whole (truncated) dataset and
+against ground truth, (0) FBP of the Poisson-noised FULL sinogram — the upper
+bound; (1) FBP of the noisy PARTIAL sinogram — the classical baseline; (2) the
+P-VAE reconstruction.  All recons are clipped to [0, 1] before scoring
+(final_merit.py:60-96).  Our classical recons use ct_pvae_tpu.ops.fbp in place
+of tomopy gridrec.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.recon_init import crop_center
+from ..ops.fbp import fbp
+from .metrics import compare
+
+
+def final_merit(
+    ground_truth: np.ndarray,        # (N, H, W)
+    x_train_sinograms: np.ndarray,   # (N, A, P)
+    all_masks: np.ndarray,           # (N, A)
+    all_proj_samples: np.ndarray,    # (N, A, P)
+    reconstruction_final: np.ndarray,  # (N, x, y) or (N, x, y, 1)
+    theta: np.ndarray,
+    poisson_noise_multiplier: float,
+    save_path: Optional[str] = None,
+    seed: int = 0,
+    batch: int = 32,
+) -> np.ndarray:
+    """Returns final_ave_merit (3, 3): rows = (full-sino FBP, partial-sino FBP,
+    P-VAE), cols = (MSE, SSIM, PSNR).  Saved as final_ave_merit.npy."""
+    if reconstruction_final.ndim == 4:
+        reconstruction_final = reconstruction_final[..., 0]
+    n = reconstruction_final.shape[0]
+    x_size, y_size = reconstruction_final.shape[1], reconstruction_final.shape[2]
+    gt = np.asarray(ground_truth[:n], np.float32)
+    sinos = np.asarray(x_train_sinograms[:n], np.float32)
+    theta_j = jnp.asarray(theta, jnp.float32)
+    p = sinos.shape[-1]
+    eps = float(np.finfo(np.float32).eps)
+
+    # (0) noisy FULL sinogram -> FBP  (final_merit.py:55-63)
+    key = jax.random.PRNGKey(seed)
+    noisy_full = (
+        np.asarray(
+            jax.random.poisson(key, jnp.asarray(sinos) * poisson_noise_multiplier)
+        ).astype(np.float32)
+        / poisson_noise_multiplier
+    )
+
+    # (1) noisy PARTIAL sinogram, mask-unnormalized (final_merit.py:73-89)
+    masks = np.asarray(all_masks[:n], np.float32)
+    mask_e = np.repeat(masks[:, :, None], p, axis=-1)
+    partial = np.asarray(all_proj_samples[:n], np.float32)
+    partial_unnorm = np.where(mask_e > eps, partial / np.where(mask_e > eps, mask_e, 1.0), partial)
+
+    @jax.jit
+    def recon_fbp(s):
+        return fbp(s, theta_j, p, p, "ramp")
+
+    def run_fbp(arr):
+        outs = []
+        for i in range(0, n, batch):
+            chunk = arr[i : i + batch]
+            pad_n = batch - chunk.shape[0]
+            if pad_n:
+                chunk = np.concatenate([chunk, np.zeros((pad_n, *chunk.shape[1:]), np.float32)])
+            out = np.asarray(recon_fbp(jnp.asarray(chunk)))
+            outs.append(out[: batch - pad_n] if pad_n else out)
+        full = np.concatenate(outs, 0)
+        return np.clip(crop_center(full, x_size, y_size), 0.0, 1.0)
+
+    recon0 = run_fbp(noisy_full)
+    recon1 = run_fbp(partial_unnorm)
+    recon2 = np.clip(reconstruction_final, None, None)  # P-VAE output, unclipped (ref :42)
+
+    merits = []
+    for recon in (recon0, recon1, recon2):
+        per_ex = np.stack([compare(gt[i], recon[i]) for i in range(n)], axis=0)
+        merits.append(per_ex.mean(axis=0))
+    final_ave_merit = np.stack(merits, axis=0)
+
+    print("MSE, SSIM, PSNR")
+    for label, row in zip(
+        ("noisy, full sinogram", "noisy, partial sinogram", "P-VAE from noisy, partial sinogram"),
+        final_ave_merit,
+    ):
+        print(label)
+        print(row)
+
+    if save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        np.save(os.path.join(save_path, "final_ave_merit.npy"), final_ave_merit)
+    return final_ave_merit

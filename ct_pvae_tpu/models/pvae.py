@@ -1,0 +1,196 @@
+"""Hierarchical maxout conv encoder/decoder (the P-VAE amortized guide).
+
+Re-design of the reference Keras nets (ctvae/models.py:23-215) as flax.linen
+modules.  Semantics preserved:
+
+  * conv block = dropout -> two parallel convs -> elementwise max (maxout,
+    models.py:334) — no norm layer (apply_norm is hard-disabled in the
+    reference, main_ct_vae.py:286)
+  * forward convs: wrap-around ("periodic") padding sized so spatial dims
+    shrink exactly by the stride factor (models.py:305-330)
+  * encoder returns ALL intermediate block outputs; the skips ARE the
+    hierarchical latent parameters (models.py:98-108), channel-doubled for the
+    (loc, scale) split when probabilistic
+  * decoder: one input per latent level at ``channels/feature_maps_multiplier``,
+    transpose-conv upsampling, center-crop to the skip shape, concat skips
+    except the topmost input level, final conv -> (mean, var) split
+    (models.py:146-209)
+
+XLA notes: convolutions lower to MXU via lax.conv_general_dilated; all shapes
+are static; maxout fuses into the conv epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Compute dtype note: convs run in ``dtype`` (bfloat16 on TPU targets the MXU
+# at full rate); parameters stay float32 (flax param_dtype default).  The loss
+# casts activations back to float32 before any distribution math.
+
+Array = jnp.ndarray
+
+_GLOROT = nn.initializers.glorot_uniform()
+
+
+def _periodic_pad(x: Array, pad_x: Tuple[int, int], pad_y: Tuple[int, int]) -> Array:
+    """Wrap-around padding of NHWC spatial dims (reference models.py:219-263)."""
+    return jnp.pad(x, ((0, 0), pad_x, pad_y, (0, 0)), mode="wrap")
+
+
+def _shrink_pad(size: int, stride: int, kernel: int) -> Tuple[int, int]:
+    """Padding so a VALID conv maps ``size -> ceil(size/stride)`` exactly
+    (reference models.py:305-324: larger half in front)."""
+    rem = size % stride
+    pad = kernel - rem if rem else kernel - stride
+    return (pad // 2 + pad % 2, pad // 2)
+
+
+class ConvBlock(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+    transpose: bool = False
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool = False) -> Array:
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        k = (self.kernel, self.kernel)
+        s = (self.stride, self.stride)
+        if self.transpose:
+            x1 = nn.ConvTranspose(self.features, k, strides=s, padding="SAME", kernel_init=_GLOROT, dtype=self.dtype)(x)
+            x2 = nn.ConvTranspose(self.features, k, strides=s, padding="SAME", kernel_init=_GLOROT, dtype=self.dtype)(x)
+        else:
+            px = _shrink_pad(x.shape[1], self.stride, self.kernel)
+            py = _shrink_pad(x.shape[2], self.stride, self.kernel)
+            xp = _periodic_pad(x, px, py)
+            x1 = nn.Conv(self.features, k, strides=s, padding="VALID", kernel_init=_GLOROT, dtype=self.dtype)(xp)
+            x2 = nn.Conv(self.features, k, strides=s, padding="VALID", kernel_init=_GLOROT, dtype=self.dtype)(xp)
+        return jnp.maximum(x1, x2)
+
+
+class Encoder(nn.Module):
+    """Downsampling stack; returns every level's activation as a latent skip."""
+
+    num_blocks: int
+    feature_maps: Sequence[int]  # per-block channels, already x feature_maps_multiplier
+    kernel: int
+    stride: int
+    intermediate_layers: int
+    intermediate_kernel: int
+    dropout: float = 0.0
+    feature_maps_multiplier: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool = False) -> List[Array]:
+        # channel-repeat so the input level is splittable into (loc, scale)
+        # (reference models.py:55)
+        x = jnp.repeat(x, self.feature_maps_multiplier, axis=-1)
+        skips = [x]
+        for i in range(self.num_blocks):
+            for _ in range(self.intermediate_layers):
+                x = ConvBlock(
+                    x.shape[-1], self.intermediate_kernel, 1,
+                    dropout=self.dropout, dtype=self.dtype,
+                )(x, training=training)
+            x = ConvBlock(
+                self.feature_maps[i], self.kernel, self.stride,
+                dropout=self.dropout, dtype=self.dtype,
+            )(x, training=training)
+            skips.append(x)
+        # float32 at the interface: skips parameterize distributions
+        return [s.astype(jnp.float32) for s in skips]
+
+
+class Decoder(nn.Module):
+    """Upsampling stack from hierarchical latent samples to (mean, var) maps."""
+
+    skip_shapes: Sequence[Tuple[int, int, int]]  # encoder (x, y, z) per level
+    final_channels: int
+    kernel: int
+    stride: int
+    intermediate_layers: int
+    intermediate_kernel: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, latents: Sequence[Array], *, training: bool = False) -> Tuple[Array, Array]:
+        num_levels = len(latents)
+        x = latents[-1]
+        for i in range(num_levels - 2, -1, -1):
+            target_x, target_y, target_z = self.skip_shapes[i]
+            x = ConvBlock(
+                target_z, self.kernel, self.stride, transpose=True,
+                dropout=self.dropout, dtype=self.dtype,
+            )(x, training=training)
+            for _ in range(self.intermediate_layers):
+                x = ConvBlock(
+                    x.shape[-1], self.intermediate_kernel, 1,
+                    dropout=self.dropout, dtype=self.dtype,
+                )(x, training=training)
+            # center-crop to the skip's spatial dims (reference models.py:181-191)
+            rx = x.shape[1] - target_x
+            ry = x.shape[2] - target_y
+            ox = rx // 2 + rx % 2
+            oy = ry // 2 + ry % 2
+            x = x[:, ox : ox + target_x, oy : oy + target_y, :]
+            if i > 0:  # do not concatenate the input-level skip (models.py:192-193)
+                x = jnp.concatenate([x, latents[i]], axis=-1)
+        x = ConvBlock(
+            self.final_channels * 2, self.kernel, 1,
+            dropout=self.dropout, dtype=self.dtype,
+        )(x, training=training)
+        mean, var = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        return mean, var
+
+
+def latent_shapes(
+    x_size: int, y_size: int, in_channels: int, cfg
+) -> List[Tuple[int, int, int]]:
+    """Static skip shapes (x, y, z) per level, z including the fmm factor."""
+    fmm = cfg.feature_maps_multiplier
+    shapes = [(x_size, y_size, in_channels * fmm)]
+    sx, sy = x_size, y_size
+    for i, f in enumerate(cfg.feature_map_counts()):
+        sx = -(-sx // cfg.stride_encode)
+        sy = -(-sy // cfg.stride_encode)
+        shapes.append((sx, sy, f * fmm))
+    return shapes
+
+
+def build_models(x_size: int, y_size: int, in_channels: int, cfg):
+    """Construct (encoder, decoder, skip_shapes) from a Config."""
+    fmm = cfg.feature_maps_multiplier
+    feats = [f * fmm for f in cfg.feature_map_counts()]
+    dtype = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
+    enc = Encoder(
+        num_blocks=cfg.num_blocks,
+        feature_maps=feats,
+        kernel=cfg.kernel_size,
+        stride=cfg.stride_encode,
+        intermediate_layers=cfg.intermediate_layers,
+        intermediate_kernel=cfg.intermediate_kernel,
+        dropout=cfg.dropout_prob,
+        feature_maps_multiplier=fmm,
+        dtype=dtype,
+    )
+    shapes = latent_shapes(x_size, y_size, in_channels, cfg)
+    dec = Decoder(
+        skip_shapes=tuple(shapes),
+        final_channels=1,
+        kernel=cfg.kernel_size,
+        stride=cfg.stride_encode,
+        intermediate_layers=cfg.intermediate_layers,
+        intermediate_kernel=cfg.intermediate_kernel,
+        dropout=cfg.dropout_prob,
+        dtype=dtype,
+    )
+    return enc, dec, shapes

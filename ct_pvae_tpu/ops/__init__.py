@@ -1,0 +1,15 @@
+from .radon import num_proj_pixels, pad_phantom, radon, backproject
+from .fbp import fbp, fourier_filter
+from .sirt import sirt
+from .tv import tv_reconstruct
+
+__all__ = [
+    "num_proj_pixels",
+    "pad_phantom",
+    "radon",
+    "backproject",
+    "fbp",
+    "fourier_filter",
+    "sirt",
+    "tv_reconstruct",
+]

@@ -1,0 +1,387 @@
+"""Training runtime — the TPU-native replacement for the CT_VAE orchestrator.
+
+Reference: ctvae/main_ct_vae.py:118-486.  Differences by design:
+
+  * the whole (truncated) dataset lives on device; a batch is a gather by
+    index — zero host<->device transfer per step (vs tf.data streaming)
+  * one jit-compiled ``train_step`` fuses KL-anneal update, pnm anneal, angle
+    subsampling gather, ELBO, NaN-guarded per-tensor-clipped Adam update
+  * explicit PRNG keys; kl_anneal/pnm live inside the TrainState pytree
+  * sharding: batch on the 'data' mesh axis, physics-likelihood angles on the
+    'angle' axis; XLA inserts the psum for gradients/log-lik sums
+  * checkpoints: full TrainState (params + opt state + anneal state), same
+    ``training_checkpoints/ckpt-N`` naming as tf.train.Checkpoint
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..data import io as data_io
+from ..data.masks import create_all_masks
+from ..data.recon_init import classical_recon_stack
+from ..models.pvae import build_models
+from ..parallel.mesh import make_mesh
+from ..utils.batching import IndexStream
+from ..utils.metrics import MetricsLogger
+from .loss import ElboAux, elbo_loss
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    kl_anneal: jnp.ndarray
+    pnm: jnp.ndarray
+    step: jnp.ndarray
+
+
+def nan_zero_and_clip(norm: float) -> optax.GradientTransformation:
+    """Zero NaN gradients then clip each tensor by norm — the reference's
+    exact gradient hygiene (main_ct_vae.py:482-484)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def fix(g):
+            g = jnp.where(jnp.isnan(g), jnp.zeros_like(g), g)
+            gnorm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.where(gnorm > norm, norm / (gnorm + 1e-30), 1.0)
+            return g * scale
+
+        return jax.tree_util.tree_map(fix, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+class Trainer:
+    """Builds data, models and the fused train step; runs the loop."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        sinograms: Optional[np.ndarray] = None,
+        theta: Optional[np.ndarray] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.setup_start_time = time.time()
+        if sinograms is None:
+            if cfg.input_path is None:
+                raise ValueError(
+                    "config.input_path is required (or pass sinograms/theta arrays); "
+                    "create a dataset first: python -m ct_pvae_tpu.cli make-data"
+                )
+            sinograms, theta, _ = data_io.load_dataset(cfg.input_path)
+        sinograms = np.clip(np.asarray(sinograms, np.float32)[: cfg.truncate_dataset], 0, None)
+        self.theta = np.asarray(theta, np.float32)
+        self.num_angles = len(self.theta)
+        self.num_proj_pix = sinograms.shape[-1]
+
+        # recon size rule (ref main_ct_vae.py:156-161)
+        if cfg.no_pad:
+            self.x_size = self.y_size = self.num_proj_pix
+        else:
+            self.x_size = self.y_size = int(np.floor(self.num_proj_pix / np.sqrt(2) - 2))
+
+        if cfg.save_path:
+            os.makedirs(cfg.save_path, exist_ok=True)
+
+        # masks + noisy measurements (ref L2)
+        self.all_masks, self.all_proj_samples = create_all_masks(
+            sinograms,
+            self.num_angles,
+            save_path=cfg.save_path,
+            poisson_noise_multiplier=cfg.poisson_noise_multiplier,
+            num_sparse_angles=cfg.num_sparse_angles,
+            random=cfg.random_angles,
+            real_data=cfg.real_data,
+            train=cfg.train,
+            truncate_dataset=cfg.truncate_dataset,
+            toy_masks=cfg.toy_masks,
+            seed=cfg.seed,
+        )
+        self.x_train_sinograms = sinograms
+
+        # classical-recon encoder inputs (ref iradon_all)
+        self.all_input_encode = classical_recon_stack(
+            self.all_proj_samples,
+            self.all_masks,
+            self.theta,
+            cfg.algorithms,
+            self.x_size,
+            self.y_size,
+            save_path=cfg.save_path,
+            train=cfg.train,
+        )
+        self.train_size = (len(sinograms) // cfg.batch_size) * cfg.batch_size
+
+        # pnm anneal factor (ref main_ct_vae.py:146-149)
+        if cfg.pnm_start is not None:
+            self.pnm_anneal_factor = float(
+                np.exp(np.log(cfg.poisson_noise_multiplier / cfg.pnm_start) / max(cfg.num_iter, 1))
+            )
+            pnm0 = cfg.pnm_start
+        else:
+            self.pnm_anneal_factor = 1.0
+            pnm0 = cfg.poisson_noise_multiplier
+
+        # models
+        in_channels = self.all_input_encode.shape[-1]
+        self.encoder, self.decoder, self.skip_shapes = build_models(
+            self.x_size, self.y_size, in_channels, cfg
+        )
+        key = jax.random.PRNGKey(cfg.seed)
+        k_enc, k_dec, self.loop_key = jax.random.split(key, 3)
+        dummy_in = jnp.zeros((cfg.batch_size, self.x_size, self.y_size, in_channels))
+        enc_params = self.encoder.init({"params": k_enc}, dummy_in)["params"]
+        dummy_skips = self.encoder.apply({"params": enc_params}, dummy_in)
+        dummy_latents = [jnp.split(s, 2, axis=-1)[0] for s in dummy_skips]
+        dec_params = self.decoder.init({"params": k_dec}, dummy_latents)["params"]
+        params = {"encoder": enc_params, "decoder": dec_params}
+
+        self.tx = optax.chain(
+            nan_zero_and_clip(cfg.norm),
+            optax.adam(cfg.learning_rate, eps=cfg.adam_epsilon),
+        )
+        self.state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            kl_anneal=jnp.float32(1.0),
+            pnm=jnp.float32(pnm0),
+            step=jnp.int32(0),
+        )
+
+        # device-resident dataset
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_data, cfg.mesh_angle)
+        self.data = {
+            "proj_sample": jnp.asarray(self.all_proj_samples),
+            "mask": jnp.asarray(self.all_masks),
+            "input_encode": jnp.asarray(self.all_input_encode),
+        }
+        if self.mesh is not None:
+            repl = NamedSharding(self.mesh, P())
+            self.data = jax.device_put(self.data, repl)
+            self.state = jax.device_put(self.state, repl)
+
+        self._train_step_fn = self._build_step(training=True)
+        self._eval_step_fn = self._build_step(training=False)
+        self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_fn)
+        self.metrics = MetricsLogger(cfg.save_path)
+
+        if cfg.restore and cfg.save_path:
+            self.restore(cfg.restore_num, cfg.use_latest_ckpt)
+
+    # ------------------------------------------------------------------
+    def _build_step(self, training: bool):
+        cfg = self.cfg
+        theta = jnp.asarray(self.theta)
+        n_det = self.num_proj_pix
+        pad = not cfg.no_pad
+        encoder, decoder = self.encoder, self.decoder
+        mesh = self.mesh
+        tx = self.tx
+        pnm_anneal_factor = self.pnm_anneal_factor
+
+        def shard_batch(batch):
+            if mesh is None:
+                return batch
+            return {
+                "proj_sample": jax.lax.with_sharding_constraint(
+                    batch["proj_sample"], NamedSharding(mesh, P("data", "angle", None))
+                ),
+                "mask": jax.lax.with_sharding_constraint(
+                    batch["mask"], NamedSharding(mesh, P("data", "angle"))
+                ),
+                "input_encode": jax.lax.with_sharding_constraint(
+                    batch["input_encode"], NamedSharding(mesh, P("data"))
+                ),
+            }
+
+        def step(state: TrainState, data: Dict, batch_idx, angle_idx, key):
+            batch = {k: jnp.take(v, batch_idx, axis=0) for k, v in data.items()}
+            batch = shard_batch(batch)
+            kl_anneal = (
+                jnp.clip(state.kl_anneal * cfg.kl_anneal_factor, 0.0, 100.0)
+                if training
+                else state.kl_anneal
+            )
+            pnm_i = state.pnm * pnm_anneal_factor ** state.step.astype(jnp.float32)
+
+            def loss_fn(params):
+                return elbo_loss(
+                    params,
+                    batch,
+                    key,
+                    encoder=encoder,
+                    decoder=decoder,
+                    theta=theta,
+                    angles_i=angle_idx,
+                    kl_anneal=kl_anneal,
+                    kl_multiplier=cfg.kl_multiplier,
+                    pnm=pnm_i,
+                    num_samples=cfg.num_samples,
+                    use_normal=cfg.use_normal,
+                    deterministic=cfg.deterministic,
+                    num_blocks=cfg.num_blocks,
+                    pad=pad,
+                    n_det=n_det,
+                    input_encode_scale=cfg.input_encode_scale,
+                    loss_scale=cfg.loss_scale,
+                    training=training,
+                )
+
+            if training:
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(
+                    params=params,
+                    opt_state=opt_state,
+                    kl_anneal=kl_anneal,
+                    step=state.step + 1,
+                )
+            else:
+                loss, aux = loss_fn(state.params)
+                new_state = state
+            return new_state, loss, aux
+
+        return step
+
+    # ------------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        batch_stream = IndexStream(len(self.x_train_sinograms), cfg.batch_size, cfg.seed + 1)
+        angle_stream = IndexStream(
+            self.num_angles, min(cfg.angles_per_iter, self.num_angles), cfg.seed + 2
+        )
+        key = self.loop_key
+        setup_time_saved = False
+        start_time = time.time()
+        for it in range(cfg.num_iter):
+            key, skey = jax.random.split(key)
+            self.state, loss, aux = self._train_step(
+                self.state,
+                self.data,
+                jnp.asarray(batch_stream.next()),
+                jnp.asarray(angle_stream.next()),
+                skey,
+            )
+            if it % cfg.metrics_every == 0 or it == cfg.num_iter - 1:
+                loss_f = float(loss)
+                self.metrics.log(
+                    it,
+                    loss=loss_f,
+                    kl=float(jnp.mean(aux.kl)),
+                    loglik=float(aux.loglik),
+                    kl_anneal=float(self.state.kl_anneal),
+                )
+                if np.isnan(loss_f):
+                    # ref aborts on NaN loss (main_ct_vae.py:401-402); we stop
+                    # training but keep artifacts.
+                    print(f"NaN loss at iter {it}; stopping training loop")
+                    break
+            if not setup_time_saved:
+                # ref saves setup wall-clock at first iter (main_ct_vae.py:403-408)
+                setup_time_saved = True
+                if cfg.save_path:
+                    np.save(
+                        os.path.join(cfg.save_path, "setup_time.npy"),
+                        (time.time() - self.setup_start_time) / 60.0,
+                    )
+                start_time = time.time()
+            if cfg.save_path and (it % cfg.save_interval == 0 or it == cfg.num_iter - 1):
+                self.metrics.save_npy_contract()
+                self.checkpoint()
+        if cfg.save_path:
+            np.save(
+                os.path.join(cfg.save_path, "training_time.npy"),
+                (time.time() - start_time) / 60.0,
+            )
+            self.metrics.save_npy_contract()
+            self.metrics.save_plots()
+
+    # ------------------------------------------------------------------
+    def final_evaluation(self) -> float:
+        """Unshuffled full pass; saves loss_final / reconstruction_final
+        (ref main_ct_vae.py:427-461).  Returns loss_final_mean (HPO objective)."""
+        cfg = self.cfg
+        stream = IndexStream(len(self.x_train_sinograms), cfg.batch_size, 0, shuffle=False)
+        key = jax.random.PRNGKey(cfg.seed + 3)
+        start = time.time()
+        losses, recons = [], []
+        angle_all = jnp.arange(self.num_angles, dtype=jnp.int32)
+        for _ in range(self.train_size // cfg.batch_size):
+            key, skey = jax.random.split(key)
+            _, loss, aux = self._eval_step(
+                self.state, self.data, jnp.asarray(stream.next()), angle_all, skey
+            )
+            losses.append(float(loss))
+            # ref collects output_dist.sample() (a draw, not the mean, :446)
+            recons.append(np.asarray(aux.recon_sample)[..., None])
+        loss_final = np.asarray(losses)
+        reconstruction_final = np.concatenate(recons, axis=0)
+        if cfg.save_path:
+            np.save(os.path.join(cfg.save_path, "loss_final.npy"), loss_final)
+            np.save(
+                os.path.join(cfg.save_path, "reconstruction_final.npy"),
+                reconstruction_final,
+            )
+            np.save(
+                os.path.join(cfg.save_path, "final_train_time.npy"),
+                (time.time() - start) / 60.0,
+            )
+        self.loss_final_mean = float(np.mean(loss_final))
+        return self.loss_final_mean
+
+    # ------------------------------------------------------------------
+    def checkpoint(self) -> str:
+        ckpt_dir = os.path.join(self.cfg.save_path, "training_checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        n = int(self.state.step)
+        path = os.path.join(ckpt_dir, f"ckpt-{n}.msgpack")
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.state))
+        return path
+
+    def restore(self, restore_num: Optional[int] = None, use_latest: bool = False) -> None:
+        ckpt_dir = os.path.join(self.cfg.save_path, "training_checkpoints")
+        if use_latest or restore_num is None:
+            cands = sorted(
+                (f for f in os.listdir(ckpt_dir) if f.startswith("ckpt-")),
+                key=lambda f: int(f.split("-")[1].split(".")[0]),
+            )
+            if not cands:
+                raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+            path = os.path.join(ckpt_dir, cands[-1])
+        else:
+            path = os.path.join(ckpt_dir, f"ckpt-{restore_num}.msgpack")
+        with open(path, "rb") as f:
+            self.state = serialization.from_bytes(self.state, f.read())
+
+
+def run(cfg: Config, sinograms=None, theta=None) -> float:
+    """Reference ``main(**kwargs) -> loss_final_mean`` equivalent
+    (main_ct_vae.py:733-735)."""
+    trainer = Trainer(cfg, sinograms=sinograms, theta=theta)
+    if cfg.train:
+        trainer.train()
+    loss_final_mean = float("nan")
+    if not cfg.no_final_eval:
+        loss_final_mean = trainer.final_evaluation()
+    return loss_final_mean

@@ -1,0 +1,57 @@
+"""Metric implementation tests (skimage-compatible MSE/SSIM/PSNR)."""
+
+import numpy as np
+
+from ct_pvae_tpu.eval.metrics import compare, mse, psnr, ssim
+
+
+def test_identical_images():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(32, 32))
+    m, s, p = compare(a, a)
+    assert m == 0.0
+    np.testing.assert_allclose(s, 1.0)
+    assert np.isinf(p)
+
+
+def test_mse_psnr_closed_form():
+    a = np.zeros((16, 16))
+    a[0, 0] = 1.0  # data_range 1
+    b = a + 0.1
+    assert abs(mse(a, b) - 0.01) < 1e-12
+    np.testing.assert_allclose(psnr(a, b, 1.0), 20.0, atol=1e-9)
+
+
+def test_ssim_known_values():
+    # constant-vs-constant with offset: analytic SSIM = (2*u1*u2+c1)/(u1^2+u2^2+c1)
+    u1, u2, dr = 0.5, 0.6, 1.0
+    a = np.full((32, 32), u1)
+    b = np.full((32, 32), u2)
+    c1 = (0.01 * dr) ** 2
+    expect = (2 * u1 * u2 + c1) / (u1**2 + u2**2 + c1)
+    np.testing.assert_allclose(ssim(a, b, dr), expect, rtol=1e-10)
+
+
+def test_ssim_decreases_with_noise():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(64, 64))
+    s_small = ssim(a, a + 0.01 * rng.normal(size=a.shape), 1.0)
+    s_big = ssim(a, a + 0.3 * rng.normal(size=a.shape), 1.0)
+    assert s_big < s_small < 1.0
+
+
+def test_ssim_tiny_image_auto_window():
+    # 2x2 images: win_size falls back to smallest odd size (ref
+    # helper_functions.py:399-406 behavior)
+    a = np.array([[0.1, 0.2], [0.3, 0.4]])
+    b = np.array([[0.1, 0.2], [0.3, 0.5]])
+    val = ssim(a, b, a.max() - a.min())
+    assert np.isfinite(val)
+
+
+def test_compare_uses_first_image_data_range():
+    a = np.zeros((8, 8))
+    a[0, 0] = 2.0
+    b = np.ones((8, 8))
+    m, s, p = compare(a, b)
+    np.testing.assert_allclose(p, 10 * np.log10(4.0 / m))

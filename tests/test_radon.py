@@ -1,0 +1,197 @@
+"""Unit + golden-value tests for the Radon projector, adjoint, FBP, SIRT, TV.
+
+The reference's only projector validation is a manual visual script
+(ctvae/tomopy_forward_compare.py); here the properties are automated:
+analytic toy projections (images_to_sinograms.py:54-59 semantics, with the
+batch-flip bug fixed — see docstrings), adjointness of autodiff, mass
+conservation, FBP/SIRT round-trip accuracy, and an independent dense-matrix
+oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ct_pvae_tpu.ops import (
+    backproject,
+    fbp,
+    num_proj_pixels,
+    pad_phantom,
+    radon,
+    sirt,
+    tv_reconstruct,
+)
+
+KEY = jax.random.PRNGKey(1)
+
+
+def _phantom(n=32, batch=()):
+    """Smooth blob phantom, zero near the borders."""
+    x = np.linspace(-1, 1, n)
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    img = np.exp(-((xx - 0.15) ** 2 + (yy + 0.1) ** 2) / 0.08)
+    img += 0.5 * np.exp(-((xx + 0.3) ** 2 + (yy - 0.25) ** 2) / 0.02)
+    img = img.astype(np.float32)
+    if batch:
+        img = np.broadcast_to(img, batch + img.shape).copy()
+    return jnp.asarray(img)
+
+
+def test_num_proj_pixels_matches_reference_rule():
+    # reference forward_functions.py:29-30 for 128x128 foam -> 184
+    assert num_proj_pixels(128, 128) == 184
+    assert num_proj_pixels(2, 2) == 6
+
+
+def test_pad_phantom_shape_and_centering():
+    img = _phantom(31)
+    padded = pad_phantom(img)
+    p = num_proj_pixels(31, 31)
+    assert padded.shape == (p, p)
+    np.testing.assert_allclose(float(jnp.sum(padded)), float(jnp.sum(img)), rtol=1e-6)
+
+
+def test_theta_zero_is_column_sums():
+    img = _phantom(16)
+    sino = radon(img, jnp.asarray([0.0]))
+    np.testing.assert_allclose(
+        np.asarray(sino[0]), np.asarray(jnp.sum(img, axis=0)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_theta_90_is_flipped_row_sums():
+    """p_{pi/2}[t] = row sums with the detector axis flipped.
+
+    The reference's toy generator writes np.sum(imgs, axis=2)[::-1] — flipping
+    the *batch* axis instead of the detector axis (images_to_sinograms.py:57),
+    a bug masked by its duplicated toy layout.  The correct analytic form,
+    consistent with the rotate(-theta)+sum operator and with the FBP geometry
+    t = y cos(theta) - x sin(theta), is the per-image detector flip tested
+    here.
+    """
+    img = _phantom(16)
+    sino = radon(img, jnp.asarray([np.pi / 2]))
+    np.testing.assert_allclose(
+        np.asarray(sino[0]), np.asarray(jnp.sum(img, axis=1)[::-1]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_mass_conservation_all_angles():
+    """Each projection integrates to the total image mass (for interior support)."""
+    img = _phantom(24)
+    theta = jnp.linspace(0, np.pi, 45, endpoint=False)
+    sino = radon(img, theta, pad=True)
+    mass = float(jnp.sum(img))
+    np.testing.assert_allclose(np.asarray(jnp.sum(sino, axis=-1)), mass, rtol=1e-3)
+
+
+def test_batched_matches_loop():
+    imgs = jnp.stack([_phantom(16), 2.0 * _phantom(16)])
+    theta = jnp.linspace(0, np.pi, 7, endpoint=False)
+    batched = radon(imgs, theta, pad=True)
+    singles = jnp.stack([radon(imgs[0], theta, pad=True), radon(imgs[1], theta, pad=True)])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(singles), rtol=1e-6)
+
+
+def _dense_matrix(op, in_shape, out_shape):
+    """Materialize a linear operator as a dense matrix by probing basis vectors."""
+    n_in = int(np.prod(in_shape))
+    eye = jnp.eye(n_in, dtype=jnp.float32).reshape((n_in,) + in_shape)
+    cols = jax.vmap(op)(eye)
+    return np.asarray(cols.reshape(n_in, -1)).T  # (n_out, n_in)
+
+
+def test_autodiff_adjoint_is_exact_transpose():
+    """<A x, y> == <x, A^T y> with A^T from jax.vjp — exactness by construction."""
+    n, a = 12, 5
+    theta = jnp.linspace(0, np.pi, a, endpoint=False)
+    x = jax.random.normal(KEY, (n, n))
+    f = lambda im: radon(im, theta, pad=False)
+    y = jax.random.normal(jax.random.PRNGKey(2), f(x).shape)
+    fx, vjp = jax.vjp(f, x)
+    (aty,) = vjp(y)
+    lhs = float(jnp.vdot(fx, y))
+    rhs = float(jnp.vdot(x, aty))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_backproject_is_near_adjoint_of_radon():
+    """Pixel-driven backprojection vs the exact ray-driven adjoint.
+
+    These are different discretizations; they agree closely on dot-product
+    tests for interior images (standard matched-pair check for SIRT/FBP use).
+    """
+    n, a = 16, 9
+    theta = jnp.linspace(0, np.pi, a, endpoint=False)
+    A = _dense_matrix(lambda im: radon(im, theta, pad=False), (n, n), (a, n))
+    Bt = _dense_matrix(lambda s: backproject(s, theta, n, n), (a, n), (n, n))
+    # The discretizations differ most where rays exit the image; compare
+    # dot-products over interior-supported images (the padded-use regime).
+    x = np.zeros((n, n), np.float32)
+    rng = np.random.default_rng(0)
+    x[4:-4, 4:-4] = rng.normal(size=(n - 8, n - 8))
+    y = rng.normal(size=(a, n)).astype(np.float32)
+    lhs = float(y.reshape(-1) @ (A @ x.reshape(-1)))
+    rhs = float(x.reshape(-1) @ (Bt @ y.reshape(-1)))
+    np.testing.assert_allclose(lhs, rhs, rtol=0.1)
+    # and the operators agree reasonably overall
+    dev = np.linalg.norm(A - Bt.T) / np.linalg.norm(A)
+    assert dev < 0.5, dev
+
+
+def test_fbp_reconstructs_phantom():
+    n = 64
+    img = _phantom(n)
+    theta = jnp.linspace(0, np.pi, 180, endpoint=False)
+    sino = radon(img, theta, pad=True)
+    p = sino.shape[-1]
+    rec_full = fbp(sino, theta, p, p, "ramp")
+    ox = (p - n) // 2
+    rec = rec_full[ox : ox + n, ox : ox + n]
+    err = float(jnp.sqrt(jnp.mean((rec - img) ** 2)) / jnp.sqrt(jnp.mean(img**2)))
+    assert err < 0.12, err
+
+
+def test_fbp_filters_all_run():
+    img = _phantom(20)
+    theta = jnp.linspace(0, np.pi, 20, endpoint=False)
+    sino = radon(img, theta, pad=True)
+    p = sino.shape[-1]
+    for name in ("ramp", "shepp-logan", "cosine", "hamming", "hann", "none"):
+        out = fbp(sino, theta, p, p, name)
+        assert out.shape == (p, p)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sirt_reconstructs_phantom():
+    n = 32
+    img = _phantom(n)
+    theta = jnp.linspace(0, np.pi, 45, endpoint=False)
+    sino = radon(img, theta, pad=True)
+    rec = sirt(sino, theta, n, n, num_iter=60)
+    err = float(jnp.sqrt(jnp.mean((rec - img) ** 2)) / jnp.sqrt(jnp.mean(img**2)))
+    assert err < 0.15, err
+
+
+def test_tv_reconstructs_phantom():
+    n = 32
+    img = _phantom(n)
+    theta = jnp.linspace(0, np.pi, 45, endpoint=False)
+    sino = radon(img, theta, pad=True)
+    rec = tv_reconstruct(sino, theta, n, n, num_iter=150, lam=0.02, sigma=0.3, tau=2e-3)
+    err = float(jnp.sqrt(jnp.mean((rec - img) ** 2)) / jnp.sqrt(jnp.mean(img**2)))
+    assert err < 0.25, err
+
+
+def test_radon_gradients_flow():
+    n = 16
+    theta = jnp.linspace(0, np.pi, 5, endpoint=False)
+    target = radon(_phantom(n), theta, pad=False)
+
+    def loss(im):
+        return jnp.mean((radon(im, theta, pad=False) - target) ** 2)
+
+    g = jax.grad(loss)(jnp.zeros((n, n)))
+    assert float(jnp.linalg.norm(g)) > 0
+    assert np.isfinite(np.asarray(g)).all()

@@ -1,0 +1,76 @@
+"""End-to-end integration: toy dataset ELBO training descends, artifacts write.
+
+This is the reference's minimum slice (SURVEY.md §7 step 5): toy discrete
+dataset -> masks -> classical init -> P-VAE ELBO steps -> final evaluation.
+"""
+
+import numpy as np
+import pytest
+
+from ct_pvae_tpu.config import toy_config
+from ct_pvae_tpu.data.sinogram import make_dataset
+from ct_pvae_tpu.vi.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def toy_data():
+    images, sinos, theta = make_dataset("toy", num_train=64)
+    return images, sinos, theta
+
+
+def test_toy_trainer_runs_and_loss_decreases(tmp_path_factory, toy_data):
+    images, sinos, theta = toy_data
+    save = str(tmp_path_factory.mktemp("toy_run"))
+    cfg = toy_config(
+        truncate_dataset=64,
+        num_iter=60,
+        num_samples=2,
+        save_path=save,
+        train=True,
+        save_interval=1000,
+        learning_rate=1e-3,
+        # hold pnm fixed: annealing 1e3->1e4 rescales the likelihood term and
+        # masks descent over a short run
+        pnm_start=None,
+        poisson_noise_multiplier=1e3,
+    )
+    tr = Trainer(cfg, sinograms=sinos, theta=theta)
+    assert tr.x_size == 2 and tr.num_proj_pix == 2
+    tr.train()
+    losses = tr.metrics.history["loss"]
+    assert np.isfinite(losses).all()
+    first = np.mean(losses[:10])
+    last = np.mean(losses[-10:])
+    assert last < first, (first, last)
+
+    mean_loss = tr.final_evaluation()
+    assert np.isfinite(mean_loss)
+    rec = np.load(f"{save}/reconstruction_final.npy")
+    assert rec.shape == (64, 2, 2, 1)
+    for name in ("all_masks.npy", "all_proj_samples.npy", "all_input_encode.npy",
+                 "train_loss_vec.npy", "loss_final.npy"):
+        assert (np.load(f"{save}/{name}") is not None)
+
+
+def test_toy_checkpoint_roundtrip(tmp_path_factory, toy_data):
+    images, sinos, theta = toy_data
+    save = str(tmp_path_factory.mktemp("toy_ckpt"))
+    cfg = toy_config(
+        truncate_dataset=16, num_iter=3, num_samples=1, save_path=save, train=True
+    )
+    tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
+    tr.train()
+    path = tr.checkpoint()
+    state_before = tr.state
+
+    tr2 = Trainer(
+        cfg.replace(train=False, restore=True, use_latest_ckpt=True),
+        sinograms=sinos[:16],
+        theta=theta,
+    )
+    import jax
+
+    leaves1 = jax.tree_util.tree_leaves(state_before.params)
+    leaves2 = jax.tree_util.tree_leaves(tr2.state.params)
+    for l1, l2 in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
