@@ -196,6 +196,105 @@ def cmd_boxplot(argv) -> int:
     return 0
 
 
+def cmd_sweep(argv) -> int:
+    """Hyperparameter sweep from a YAML file with base: / space: blocks
+    (the reference's hpo-uq config role — see configs/hpo_foam.yaml)."""
+    p = argparse.ArgumentParser(prog="sweep")
+    p.add_argument("--config", required=True)
+    p.add_argument("--save-root", default="sweep_out")
+    p.add_argument("--processes", type=int, default=1)
+    args = p.parse_args(argv)
+    import yaml
+
+    from .hpo import SearchSpace, sweep
+
+    with open(args.config) as f:
+        spec = yaml.safe_load(f)
+    for key in ("base", "space"):
+        if key not in spec:
+            print(f"sweep config must contain a '{key}:' block (see configs/hpo_foam.yaml)")
+            return 2
+    base = Config.from_dict(spec["base"])
+    space = SearchSpace(
+        params={k: tuple(v) if isinstance(v, list) and len(v) == 2 and all(
+            isinstance(x, (int, float)) for x in v) else v
+                for k, v in spec["space"].items()},
+        integer=tuple(spec.get("integer", [])),
+    )
+    results = sweep(
+        base, space,
+        num_trials=int(spec.get("num_trials", 8)),
+        mode=spec.get("mode", "random"),
+        save_root=args.save_root,
+        processes=args.processes,
+    )
+    best = results[0]
+    print(f"best trial {best[0]}: loss={best[2]:.6g} overrides={best[1]}")
+    return 0
+
+
+def cmd_compare_projectors(argv) -> int:
+    """Timing + accuracy comparison of the projector implementations
+    (the reference's ctvae/tomopy_forward_compare.py role)."""
+    p = argparse.ArgumentParser(prog="compare-projectors")
+    p.add_argument("--n", type=int, default=128)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--angles", type=int, default=180)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args(argv)
+    if args.n < 4 or args.batch < 1 or args.angles < 1:
+        print("compare-projectors: --n must be >= 4, --batch/--angles >= 1")
+        return 2
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .data.foam import generate_foam_images
+    from .ops.radon import num_proj_pixels, pad_phantom, radon
+    from .ops.pallas_radon import radon_pallas
+
+    imgs = generate_foam_images(args.batch, n_pixel=args.n, seed=0)
+    theta = np.linspace(0, np.pi, args.angles, endpoint=False)
+    padded = pad_phantom(jnp.asarray(imgs))
+    n_det = padded.shape[-1]
+    tt = tuple(theta.tolist())
+    on_tpu = jax.default_backend() == "tpu"
+
+    def bench(name, fn):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:24s} {dt*1e3:8.2f} ms")
+        return np.asarray(out)
+
+    xla_fn = jax.jit(lambda: radon(padded, jnp.asarray(theta, jnp.float32)))
+    r_xla = bench("xla gather projector", xla_fn)
+    r_pal = None
+    if on_tpu:
+        pal_fn = jax.jit(lambda: radon_pallas(padded, tt, n_det))
+        r_pal = bench("pallas MXU projector", pal_fn)
+    try:
+        from . import native
+
+        if native.available():
+            t0 = time.perf_counter()
+            r_cpp = native.radon_oracle(np.asarray(padded), theta, n_det, step=0.5)
+            print(f"{'C++ ray-march oracle':24s} {(time.perf_counter()-t0)*1e3:8.2f} ms")
+            err = np.linalg.norm(r_xla - r_cpp) / np.linalg.norm(r_cpp)
+            print(f"xla vs C++ oracle rel err: {err:.4f}")
+            if r_pal is not None:
+                errp = np.linalg.norm(r_pal - r_cpp) / np.linalg.norm(r_cpp)
+                print(f"pallas vs C++ oracle rel err: {errp:.4f}")
+    except Exception as e:
+        print(f"(native oracle unavailable: {e})")
+    return 0
+
+
 COMMANDS = {
     "make-data": cmd_make_data,
     "train": cmd_train,
@@ -203,6 +302,8 @@ COMMANDS = {
     "mcmc": cmd_mcmc,
     "visualize": cmd_visualize,
     "boxplot": cmd_boxplot,
+    "sweep": cmd_sweep,
+    "compare-projectors": cmd_compare_projectors,
 }
 
 

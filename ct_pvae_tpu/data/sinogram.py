@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.radon import num_proj_pixels, radon
+from ..ops.radon import num_proj_pixels, radon, radon_fast
 from . import io
 from .foam import generate_foam_images
 from .toy import generate_toy_images, toy_theta
@@ -39,9 +39,8 @@ def images_to_sinograms(
     (images_to_sinograms.py:72).
     """
     images = np.asarray(images, np.float32)
-    theta_j = jnp.asarray(theta, jnp.float32)
     n = images.shape[0]
-    proj_fn = jax.jit(lambda x: radon(x, theta_j, pad=pad))
+    proj_fn = jax.jit(lambda x: radon_fast(x, theta, pad=pad))
     outs = []
     for i in range(0, n, batch):
         chunk = images[i : i + batch]

@@ -159,6 +159,38 @@ def radon(
     return sino.reshape(batch_shape + (a, n_det))
 
 
+def radon_fast(
+    image: Array,
+    theta,
+    *,
+    pad: bool = False,
+    n_det: Optional[int] = None,
+) -> Array:
+    """Radon transform using the Pallas MXU kernel on TPU, XLA gather elsewhere.
+
+    Requires a CONCRETE (host) theta array: the Pallas path precomputes
+    per-angle interpolation scalars and the x-/y-major grouping at trace time.
+    Use plain :func:`radon` where theta is traced (e.g. stochastic angle
+    subsets inside the training step — a negligible cost there anyway).
+    """
+    import numpy as _np
+
+    theta_np = _np.asarray(theta)
+    if jax.default_backend() != "tpu":
+        return radon(image, jnp.asarray(theta_np, jnp.float32), pad=pad, n_det=n_det)
+    if pad:
+        image = pad_phantom(image, n_det)
+    h, w = image.shape[-2], image.shape[-1]
+    if n_det is None:
+        n_det = h
+    from .pallas_radon import radon_pallas
+
+    batch_shape = image.shape[:-2]
+    flat = image.reshape((-1, h, w))
+    out = radon_pallas(flat, tuple(float(t) for t in theta_np), n_det)
+    return out.reshape(batch_shape + (len(theta_np), n_det))
+
+
 @partial(jax.jit, static_argnames=("x_size", "y_size"))
 def backproject(
     sinogram: Array,

@@ -63,9 +63,13 @@ def physics_log_likelihood(
     pnm: Array,              # poisson noise multiplier (possibly annealed)
     pad: bool,
     n_det: int,
+    project_fn=None,         # optional (recon) -> (B, A_sub, P) projector
 ) -> Array:
     """log p(M | R) under the Gaussian-approx Poisson model; (B, A_sub, P)."""
-    proj = radon(recon, theta, pad=pad, n_det=n_det)
+    if project_fn is None:
+        proj = radon(recon, theta, pad=pad, n_det=n_det)
+    else:
+        proj = project_fn(recon)
     proj_masked = proj * mask[:, :, None]
     scale = _EPS + jnp.sqrt(proj_masked / pnm + _EPS)
     return Normal(proj_masked, scale).log_prob(proj_sample)
@@ -110,6 +114,7 @@ def elbo_loss(
     input_encode_scale: float = 300.0,
     loss_scale: float = 1e5,
     training: bool = True,
+    project_fn=None,   # optional (recon, angles_i) -> (B, A_sub, P) projector
 ) -> Tuple[Array, ElboAux]:
     """Compute the reference-scaled scalar loss and diagnostics."""
     input_encode = batch["input_encode"]
@@ -156,8 +161,10 @@ def elbo_loss(
             lp_R_given_z = out_dist.log_prob(jnp.clip(out_sample, _EPS, 1.0 - _EPS))
 
         recon = out_sample[..., 0]  # (B, x, y)
+        bound_proj = None if project_fn is None else (lambda r: project_fn(r, angles_i))
         lp_M_given_R = physics_log_likelihood(
-            recon, mask_sub, proj_sub, theta_sub, pnm, pad, n_det
+            recon, mask_sub, proj_sub, theta_sub, pnm, pad, n_det,
+            project_fn=bound_proj,
         )
         # Reference sums BOTH terms over all axes including batch (:305-311).
         lp_phys = jnp.sum(lp_M_given_R)

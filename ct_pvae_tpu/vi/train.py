@@ -198,6 +198,36 @@ class Trainer:
         tx = self.tx
         pnm_anneal_factor = self.pnm_anneal_factor
 
+        # Projector for the physics likelihood: the Pallas MXU kernel on a
+        # single TPU (masked dual-table form supports traced angle subsets);
+        # the XLA gather projector elsewhere (CPU tests, sharded meshes where
+        # the angle axis is partitioned).
+        project_fn = None
+        if (
+            cfg.use_pallas
+            and mesh is None
+            and jax.default_backend() == "tpu"
+            and n_det >= 64
+        ):
+            from ..ops.pallas_radon import angle_tables, radon_pallas_dynamic
+            from ..ops.radon import pad_phantom
+
+            table_x, table_y = angle_tables(self.theta, n_det, n_det, n_det)
+            table_x = jnp.asarray(table_x)
+            table_y = jnp.asarray(table_y)
+
+            def project_fn(recon, angles_i):
+                if pad:
+                    recon = pad_phantom(recon, n_det)
+                idx = (
+                    jnp.arange(self.num_angles, dtype=jnp.int32)
+                    if angles_i is None
+                    else angles_i
+                )
+                sx = jnp.take(table_x, idx, axis=0)
+                sy = jnp.take(table_y, idx, axis=0)
+                return radon_pallas_dynamic(recon, sx, sy, n_det)
+
         def shard_batch(batch):
             if mesh is None:
                 return batch
@@ -244,6 +274,7 @@ class Trainer:
                     input_encode_scale=cfg.input_encode_scale,
                     loss_scale=cfg.loss_scale,
                     training=training,
+                    project_fn=project_fn,
                 )
 
             if training:

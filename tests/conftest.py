@@ -14,10 +14,14 @@ import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and "jax" not in sys.modules:
+# NOTE: the axon sitecustomize imports jax at interpreter startup, so by the
+# time conftest runs, jax may already be bound to the TPU plugin.  Re-exec
+# unconditionally (once) with the plugin disabled and CPU forced.
+if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("CTPVAE_TEST_REEXEC"):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    env["CTPVAE_TEST_REEXEC"] = "1"
     os.execvpe(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -75,11 +75,14 @@ def test_smc_gaussian_posterior():
 
 
 def test_toy_posterior_hmc_pipeline():
-    """End-to-end: toy object, Poisson measurement, HMC over the simplex.
+    """End-to-end: toy object, Poisson measurement, HMC + NUTS over the simplex.
 
-    With an unambiguous mask (both angles measured) at high SNR the posterior
-    concentrates near the true object — the qualitative check the reference's
-    MCMC figures make (bin/toy_mcmc_v2.py:158-166).
+    Note the 2-view 2x2 system has a one-dimensional null space
+    (delta*[-1,+1,+1,-1] preserves both projections), so the posterior is NOT
+    centered at the true object along that direction — the Dirichlet-mixture
+    prior (boundary-attracting, conc_0 ~ 0.004) sets it.  The sound oracles
+    are: (a) posterior samples reproduce the measurements within noise, and
+    (b) two independent samplers (HMC, NUTS) agree on the posterior mean.
     """
     true_obj = jnp.asarray(np.array([[1, 2], [3, 4]], np.float32) / 10.0)
     theta = jnp.asarray([0.0, np.pi / 2], jnp.float32)
@@ -91,9 +94,22 @@ def test_toy_posterior_hmc_pipeline():
 
     log_prob = toy_posterior_sampler(meas, theta, mask, pnm)
     init = jnp.zeros((8, 3))
-    cfg = HMCConfig(num_results=1200, num_burnin=600, num_leapfrog=5, step_size=6.5e-2)
+    cfg = HMCConfig(num_results=1500, num_burnin=800, num_leapfrog=5, step_size=6.5e-2)
     samples, diag = hmc_sample(log_prob, init, jax.random.PRNGKey(4), cfg)
     simplex = IteratedSigmoidCentered.forward(samples.reshape(-1, 3))
-    mean_obj = np.asarray(simplex).mean(0)
-    np.testing.assert_allclose(mean_obj, np.asarray(true_obj).reshape(-1), atol=0.03)
     assert float(diag["accept_rate"]) > 0.5
+
+    # (a) measurement consistency: mean projected sample == measurement
+    proj_mean = np.asarray(
+        radon(jnp.mean(simplex, axis=0).reshape(2, 2), theta, pad=False)
+    )
+    np.testing.assert_allclose(proj_mean, np.asarray(meas), atol=0.02)
+
+    # (b) cross-sampler agreement on the posterior mean
+    ncfg = NUTSConfig(num_results=800, num_burnin=500, step_size=6.5e-2, max_depth=6)
+    nsamples, ndiag = nuts_sample(log_prob, init, jax.random.PRNGKey(5), ncfg)
+    nuts_mean = np.asarray(
+        IteratedSigmoidCentered.forward(nsamples.reshape(-1, 3))
+    ).mean(0)
+    hmc_mean = np.asarray(simplex).mean(0)
+    np.testing.assert_allclose(hmc_mean, nuts_mean, atol=0.03)

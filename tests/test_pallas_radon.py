@@ -1,0 +1,106 @@
+"""Pallas projector kernel vs the XLA reference implementation.
+
+Runs in interpreter mode on CPU (the same kernels compile for TPU); the
+contract is: close agreement with ops.radon on interior-supported images, an
+exact-transpose adjoint, and working gradients through the custom VJP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ct_pvae_tpu.ops.pallas_radon import backproject_pallas, radon_pallas
+from ct_pvae_tpu.ops.radon import radon
+
+
+def _phantom(n=24):
+    x = np.linspace(-1, 1, n)
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    img = np.exp(-((xx - 0.1) ** 2 + (yy + 0.05) ** 2) / 0.09)
+    img[np.hypot(xx, yy) > 0.85] = 0.0  # interior support
+    return img.astype(np.float32)
+
+
+def test_pallas_forward_matches_xla():
+    n = 24
+    img = jnp.asarray(_phantom(n))[None]
+    theta = np.linspace(0, np.pi, 12, endpoint=False)
+    ref = radon(img, jnp.asarray(theta), pad=False)
+    out = radon_pallas(img, tuple(theta.tolist()), n, True)
+    assert out.shape == ref.shape
+    # Joseph (2-tap, major-axis) vs rotate-sum (4-tap): same integral, small
+    # discretization differences
+    denom = float(jnp.linalg.norm(ref))
+    err = float(jnp.linalg.norm(out - ref)) / denom
+    assert err < 0.03, err
+    # mass conservation per angle
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(out, -1))[0], float(jnp.sum(img)), rtol=2e-3
+    )
+
+
+def test_pallas_adjoint_exact_transpose():
+    n = 16
+    theta = tuple(np.linspace(0, np.pi, 7, endpoint=False).tolist())
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, n, n))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, len(theta), n))
+    ax = radon_pallas(x, theta, n, True)
+    aty = backproject_pallas(y, theta, n, n, True)
+    lhs = float(jnp.vdot(ax, y))
+    rhs = float(jnp.vdot(x, aty))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_pallas_custom_vjp_matches_adjoint():
+    n = 16
+    theta = tuple(np.linspace(0, np.pi, 5, endpoint=False).tolist())
+    x = jnp.asarray(_phantom(n))[None]
+    target = radon_pallas(x, theta, n, True)
+
+    def loss(im):
+        p = radon_pallas(im, theta, n, True)
+        return 0.5 * jnp.sum((p - target) ** 2)
+
+    g = jax.grad(loss)(jnp.zeros((1, n, n)))
+    # analytic: grad = A^T (A*0 - target) = -A^T target
+    expect = -backproject_pallas(target, theta, n, n, True)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expect), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_nonsquare_detector_padding():
+    # n_det != lane multiple and > image size
+    n, n_det = 16, 22
+    theta = tuple(np.linspace(0, np.pi, 6, endpoint=False).tolist())
+    img = jnp.asarray(_phantom(n))[None]
+    out = radon_pallas(img, theta, n_det, True)
+    ref = radon(img, jnp.asarray(theta), pad=False, n_det=n_det)
+    err = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert err < 0.03, err
+
+
+def test_pallas_dynamic_angle_subset_matches_static():
+    """Masked dual-table dynamic form == static grouped form on a subset."""
+    import jax.numpy as jnp
+
+    from ct_pvae_tpu.ops.pallas_radon import angle_tables, radon_pallas_dynamic
+
+    n = 16
+    theta = np.linspace(0, np.pi, 10, endpoint=False)
+    img = jnp.asarray(_phantom(n))[None]
+    tx, ty = angle_tables(theta, n, n, n)
+    idx = jnp.asarray([1, 7, 4], jnp.int32)  # mixes x-major and y-major angles
+    out = radon_pallas_dynamic(
+        img, jnp.asarray(tx)[idx], jnp.asarray(ty)[idx], n, True
+    )
+    ref = radon_pallas(img, tuple(theta.tolist()), n, True)[:, np.asarray(idx), :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the dynamic form
+    def loss(im):
+        p = radon_pallas_dynamic(im, jnp.asarray(tx)[idx], jnp.asarray(ty)[idx], n, True)
+        return jnp.sum(p**2)
+
+    g = jax.grad(loss)(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.linalg.norm(g)) > 0
