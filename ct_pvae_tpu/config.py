@@ -83,6 +83,9 @@ class Config:
     compute_dtype: str = "float32"
     buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
     metrics_every: int = 1                    # record loss every N iters
+    # jax.profiler trace of this many train steps into <save_path>/profile
+    # (the reference only records wall-clock .npy timings, SURVEY.md §5.1)
+    profile_steps: int = 0
 
     # ---- derived helpers ----
     @property

@@ -153,6 +153,10 @@ class Trainer:
         dummy_latents = [jnp.split(s, 2, axis=-1)[0] for s in dummy_skips]
         dec_params = self.decoder.init({"params": k_dec}, dummy_latents)["params"]
         params = {"encoder": enc_params, "decoder": dec_params}
+        if cfg.train_pnm:
+            # reference --train_pnm: pnm joins the trainables
+            # (main_ct_vae.py:467-470)
+            params["log_pnm"] = jnp.log(jnp.float32(pnm0))
 
         self.tx = optax.chain(
             nan_zero_and_clip(cfg.norm),
@@ -251,9 +255,14 @@ class Trainer:
                 if training
                 else state.kl_anneal
             )
-            pnm_i = state.pnm * pnm_anneal_factor ** state.step.astype(jnp.float32)
+            anneal_pow = pnm_anneal_factor ** state.step.astype(jnp.float32)
 
             def loss_fn(params):
+                # --train_pnm: pnm is a trainable parameter (ref :467-470)
+                base_pnm = (
+                    jnp.exp(params["log_pnm"]) if cfg.train_pnm else state.pnm
+                )
+                pnm_i = base_pnm * anneal_pow
                 return elbo_loss(
                     params,
                     batch,
@@ -304,7 +313,16 @@ class Trainer:
         key = self.loop_key
         setup_time_saved = False
         start_time = time.time()
+        profile_started = False
         for it in range(cfg.num_iter):
+            if cfg.profile_steps and cfg.save_path:
+                # trace steps [2, 2+profile_steps) after warmup/compile
+                if it == 2:
+                    jax.profiler.start_trace(os.path.join(cfg.save_path, "profile"))
+                    profile_started = True
+                elif profile_started and it == 2 + cfg.profile_steps:
+                    jax.profiler.stop_trace()
+                    profile_started = False
             key, skey = jax.random.split(key)
             self.state, loss, aux = self._train_step(
                 self.state,
@@ -339,6 +357,8 @@ class Trainer:
             if cfg.save_path and (it % cfg.save_interval == 0 or it == cfg.num_iter - 1):
                 self.metrics.save_npy_contract()
                 self.checkpoint()
+        if profile_started:
+            jax.profiler.stop_trace()
         if cfg.save_path:
             np.save(
                 os.path.join(cfg.save_path, "training_time.npy"),
