@@ -55,31 +55,50 @@ def final_merit(
         / poisson_noise_multiplier
     )
 
-    # (1) noisy PARTIAL sinogram, mask-unnormalized (final_merit.py:73-89)
+    # (1) noisy PARTIAL sinogram: mask-unnormalized, reconstructed from the
+    # MEASURED angles only (final_merit.py:80-84 passes theta[used_angles] of
+    # length nsa to the recon — not the zero-filled full-angle sinogram).
     masks = np.asarray(all_masks[:n], np.float32)
-    mask_e = np.repeat(masks[:, :, None], p, axis=-1)
     partial = np.asarray(all_proj_samples[:n], np.float32)
-    partial_unnorm = np.where(mask_e > eps, partial / np.where(mask_e > eps, mask_e, 1.0), partial)
+    used_idx = [np.nonzero(m > eps)[0] for m in masks]
+    n_used = len(used_idx[0])
+    if any(len(u) != n_used for u in used_idx):
+        raise ValueError("per-example measured-angle counts differ")
+    used_idx = np.stack(used_idx)                                 # (N, nsa)
+    theta_used = np.asarray(theta, np.float32)[used_idx]          # (N, nsa)
+    sino_used = np.take_along_axis(partial, used_idx[:, :, None], axis=1)
+    mask_used = np.take_along_axis(masks, used_idx, axis=1)
+    sino_used = sino_used / mask_used[:, :, None]                 # un-normalize dose
 
     @jax.jit
     def recon_fbp(s):
         return fbp(s, theta_j, p, p, "ramp")
 
-    def run_fbp(arr):
+    @jax.jit
+    def recon_fbp_used(s, th):
+        return jax.vmap(lambda si, ti: fbp(si, ti, p, p, "ramp"))(s, th)
+
+    def run_fbp(arr, thetas=None):
         outs = []
         for i in range(0, n, batch):
             chunk = arr[i : i + batch]
             pad_n = batch - chunk.shape[0]
             if pad_n:
                 chunk = np.concatenate([chunk, np.zeros((pad_n, *chunk.shape[1:]), np.float32)])
-            out = np.asarray(recon_fbp(jnp.asarray(chunk)))
+            if thetas is None:
+                out = np.asarray(recon_fbp(jnp.asarray(chunk)))
+            else:
+                th = thetas[i : i + batch]
+                if pad_n:
+                    th = np.concatenate([th, np.zeros((pad_n, th.shape[1]), np.float32)])
+                out = np.asarray(recon_fbp_used(jnp.asarray(chunk), jnp.asarray(th)))
             outs.append(out[: batch - pad_n] if pad_n else out)
         full = np.concatenate(outs, 0)
         return np.clip(crop_center(full, x_size, y_size), 0.0, 1.0)
 
     recon0 = run_fbp(noisy_full)
-    recon1 = run_fbp(partial_unnorm)
-    recon2 = np.clip(reconstruction_final, None, None)  # P-VAE output, unclipped (ref :42)
+    recon1 = run_fbp(sino_used, thetas=theta_used)
+    recon2 = np.asarray(reconstruction_final)  # P-VAE output, unclipped (ref :42)
 
     merits = []
     for recon in (recon0, recon1, recon2):

@@ -83,7 +83,7 @@ def visualize_run(cfg: Config, trainer=None) -> dict:
 
     def classical(s):
         rec = fbp(jnp.asarray(s)[None], theta, p, p, "ramp")[0]
-        return np.clip(crop_center(np.asarray(rec), fx, fy), None, None)
+        return np.asarray(crop_center(np.asarray(rec), fx, fy))
 
     recon0 = classical(actual_noisy)
     recon1 = classical(computed_sinogram)
