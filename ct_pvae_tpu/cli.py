@@ -68,6 +68,8 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     a("--seed", type=int, dest="seed", default=0)
     a("--mesh_data", type=int, dest="mesh_data", default=1)
     a("--mesh_angle", type=int, dest="mesh_angle", default=1)
+    a("--metrics_every", type=int, dest="metrics_every", default=1)
+    a("--compute_dtype", dest="compute_dtype", default="float32")
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")
 
 
@@ -295,7 +297,23 @@ def cmd_compare_projectors(argv) -> int:
     return 0
 
 
+def cmd_check(argv) -> int:
+    """Environment smoke check (the reference's ctvae/check_gpu.py role)."""
+    import jax
+
+    print("jax", jax.__version__, "backend:", jax.default_backend())
+    print("devices:", jax.devices())
+    try:
+        from . import native
+
+        print("native C++ library:", "available" if native.available() else "unavailable")
+    except Exception as e:
+        print("native C++ library: error:", e)
+    return 0
+
+
 COMMANDS = {
+    "check": cmd_check,
     "make-data": cmd_make_data,
     "train": cmd_train,
     "merit": cmd_merit,
