@@ -123,7 +123,11 @@ def _fwd_kernel(scal_ref, img_ref, out_ref, g_scratch, acc_scratch, *, h: int, w
 
 
 def _adj_kernel(scal_ref, sino_ref, out_ref, g_scratch, *, h: int, w_pad: int, t_pad: int):
-    """One (batch_tile, angle) cell: out[:, x, :] += P[a, B, :] @ G_x^T."""
+    """One (batch_tile, angle) cell: out[:, x, :] += P[a, B, :] @ G_x^T.
+
+    G is generated already-transposed, (T, W), so the contraction is a plain
+    NN matmul on the MXU.
+    """
     import jax.lax as lax
     from jax.experimental import pallas as pl
 
@@ -133,8 +137,8 @@ def _adj_kernel(scal_ref, sino_ref, out_ref, g_scratch, *, h: int, w_pad: int, t
     offset = scal_ref[a, 2]
     weight = scal_ref[a, 3]
 
-    yy = lax.broadcasted_iota(jnp.int32, (w_pad, t_pad), 0).astype(jnp.float32)
-    tt = lax.broadcasted_iota(jnp.int32, (w_pad, t_pad), 1).astype(jnp.float32)
+    tt = lax.broadcasted_iota(jnp.int32, (t_pad, w_pad), 0).astype(jnp.float32)
+    yy = lax.broadcasted_iota(jnp.int32, (t_pad, w_pad), 1).astype(jnp.float32)
 
     @pl.when(a == 0)
     def _():
@@ -145,11 +149,8 @@ def _adj_kernel(scal_ref, sino_ref, out_ref, g_scratch, *, h: int, w_pad: int, t
     def body(r, _):
         pos = offset + slope_t * tt + slope_r * r.astype(jnp.float32)
         g_scratch[:, :] = weight * jnp.maximum(0.0, 1.0 - jnp.abs(yy - pos))
-        out_ref[:, r, :] += jax.lax.dot_general(
-            sino_ref[0, :, :],
-            g_scratch[:, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        out_ref[:, r, :] += jnp.dot(
+            sino_ref[0, :, :], g_scratch[:, :], preferred_element_type=jnp.float32
         )
         return 0
 
@@ -216,7 +217,7 @@ def _run_group_adj(sino: Array, scalars: np.ndarray, h: int, w: int, interpret: 
         grid=(1, a_g),
         in_specs=[pl.BlockSpec((1, b_pad, t_pad), lambda bt, a, *_: (a, 0, 0))],
         out_specs=pl.BlockSpec((b_pad, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((w_pad, t_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((t_pad, w_pad), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
