@@ -1,3 +1,11 @@
 from .mesh import batch_sharding, make_mesh, replicated_sharding
+from .distributed import host_local_batch_slice, initialize, is_primary
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "initialize",
+    "is_primary",
+    "host_local_batch_slice",
+]

@@ -146,7 +146,12 @@ def elbo_loss(
             keys = jax.random.split(key_s, len(qs) + 2)
             latents = [q.sample(k) for q, k in zip(qs, keys[:-2])]
         key_out = jax.random.fold_in(key_s, 7)
-        alpha, beta_p = decoder.apply(dec_vars, latents, training=training, rngs=rngs)
+        # independent dropout per ELBO sample (decoder call), like the
+        # reference's per-call Keras dropout
+        s_rngs = (
+            {"dropout": jax.random.fold_in(key_s, 11)} if training else {}
+        )
+        alpha, beta_p = decoder.apply(dec_vars, latents, training=training, rngs=s_rngs)
         if use_normal:
             out_loc = positive_range(alpha)
             out_scale = positive_range(beta_p)
