@@ -14,9 +14,8 @@ import numpy as np
 
 from .config import Config, foam_paper_config, foam_quick_config, toy_config
 from .data.masks import create_all_masks
-from .data.sinogram import images_to_sinograms, make_dataset
+from .data.sinogram import make_dataset
 from .data.foam import generate_foam_images
-from .data.toy import generate_toy_images
 from .vi.train import Trainer, run
 
 __all__ = [

@@ -253,7 +253,7 @@ def cmd_compare_projectors(argv) -> int:
     import jax.numpy as jnp
 
     from .data.foam import generate_foam_images
-    from .ops.radon import num_proj_pixels, pad_phantom, radon
+    from .ops.radon import pad_phantom, radon
     from .ops.pallas_radon import radon_pallas
 
     imgs = generate_foam_images(args.batch, n_pixel=args.n, seed=0)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.radon import num_proj_pixels, radon, radon_fast
+from ..ops.radon import radon_fast
 from . import io
 from .foam import generate_foam_images
 from .toy import generate_toy_images, toy_theta

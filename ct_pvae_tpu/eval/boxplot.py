@@ -9,7 +9,7 @@ naming, create_box_plot.py:12-28), run paths are explicit arguments; runs with
 from __future__ import annotations
 
 import os
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

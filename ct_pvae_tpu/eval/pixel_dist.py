@@ -16,14 +16,12 @@ mcmc/toy_model.analytic_discrete_posterior).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..data import io as data_io
 from ..mcmc.toy_model import analytic_discrete_posterior
 from ..ops.radon import radon
 from ..prob.distributions import TruncatedNormal, Beta

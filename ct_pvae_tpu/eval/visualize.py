@@ -10,7 +10,6 @@ Classical recons use our FBP instead of tomopy gridrec.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ pure-JAX implementation designed for chip-scale parallelism:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

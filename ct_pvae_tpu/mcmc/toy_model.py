@@ -8,7 +8,7 @@ The HMC/NUTS samplers run in unconstrained R^3 via IteratedSigmoidCentered.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

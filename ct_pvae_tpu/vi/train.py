@@ -17,8 +17,7 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +34,7 @@ from ..models.pvae import build_models
 from ..parallel.mesh import make_mesh
 from ..utils.batching import IndexStream
 from ..utils.metrics import MetricsLogger
-from .loss import ElboAux, elbo_loss
+from .loss import elbo_loss
 
 
 class TrainState(struct.PyTreeNode):
