@@ -149,7 +149,11 @@ class Trainer:
         dummy_in = jnp.zeros((cfg.batch_size, self.x_size, self.y_size, in_channels))
         enc_params = self.encoder.init({"params": k_enc}, dummy_in)["params"]
         dummy_skips = self.encoder.apply({"params": enc_params}, dummy_in)
-        dummy_latents = [jnp.split(s, 2, axis=-1)[0] for s in dummy_skips]
+        if cfg.deterministic:
+            # fmm == 1: the skips ARE the latents (no loc/scale split)
+            dummy_latents = dummy_skips
+        else:
+            dummy_latents = [jnp.split(s, 2, axis=-1)[0] for s in dummy_skips]
         dec_params = self.decoder.init({"params": k_dec}, dummy_latents)["params"]
         params = {"encoder": enc_params, "decoder": dec_params}
         if cfg.train_pnm:

@@ -74,3 +74,33 @@ def test_toy_checkpoint_roundtrip(tmp_path_factory, toy_data):
     leaves2 = jax.tree_util.tree_leaves(tr2.state.params)
     for l1, l2 in zip(leaves1, leaves2):
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+
+
+def test_toy_trainer_beta_mode(tmp_path_factory, toy_data):
+    """use_normal=False: Beta latents/output (the reference's default mode)."""
+    images, sinos, theta = toy_data
+    cfg = toy_config(
+        truncate_dataset=16, num_iter=3, num_samples=1,
+        save_path=str(tmp_path_factory.mktemp("toy_beta")), train=True,
+        use_normal=False, intermediate_layers=1, num_blocks=2,
+        pnm_start=None, poisson_noise_multiplier=1e3,
+    )
+    tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
+    tr.train()
+    losses = tr.metrics.history["loss"]
+    assert np.isfinite(losses).all(), losses
+
+
+def test_toy_trainer_deterministic_mode(tmp_path_factory, toy_data):
+    """--det: no latent sampling, KL == 0 (reference deterministic path)."""
+    images, sinos, theta = toy_data
+    cfg = toy_config(
+        truncate_dataset=16, num_iter=3, num_samples=1,
+        save_path=str(tmp_path_factory.mktemp("toy_det")), train=True,
+        deterministic=True, intermediate_layers=1, num_blocks=2,
+        pnm_start=None, poisson_noise_multiplier=1e3,
+    )
+    tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
+    tr.train()
+    assert np.isfinite(tr.metrics.history["loss"]).all()
+    assert np.allclose(tr.metrics.history["kl"], 0.0)
