@@ -82,12 +82,14 @@ def pixel_dist_run(
 
     sino0 = radon(jnp.asarray(X_TRAIN_0), theta, pad=False)
     sino1 = radon(jnp.asarray(X_TRAIN_1), theta, pad=False)
+    # the DATA was noised at cfg.poisson_noise_multiplier (create_masks);
+    # trainer.state.pnm starts at pnm_start when annealing is on
     h0, h1 = analytic_discrete_posterior(
         jnp.asarray(trainer.all_proj_samples[en]),
         jnp.asarray(trainer.all_masks[en]),
         sino0,
         sino1,
-        float(trainer.state.pnm),
+        cfg.poisson_noise_multiplier,
     )
 
     if save:

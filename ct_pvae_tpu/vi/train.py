@@ -258,7 +258,11 @@ class Trainer:
                 if training
                 else state.kl_anneal
             )
-            anneal_pow = pnm_anneal_factor ** state.step.astype(jnp.float32)
+            # clamp: annealing ends at num_iter (a restored/eval state may
+            # carry step == num_iter; factor**step would overflow past it)
+            anneal_pow = pnm_anneal_factor ** jnp.minimum(
+                state.step, cfg.num_iter
+            ).astype(jnp.float32)
 
             def loss_fn(params):
                 # --train_pnm: pnm is a trainable parameter (ref :467-470)
