@@ -31,7 +31,9 @@ class SMCConfig(NamedTuple):
     ess_threshold: float = 0.5    # fraction of N
     mutation_steps: int = 5       # HMC steps per stage
     num_leapfrog: int = 5
-    step_size: float = 0.1
+    step_size: float = 0.1        # initial; adapted between stages
+    target_accept: float = 0.5
+    adapt_rate: float = 3.0
 
 
 def _systematic_resample(key, log_weights, n):
@@ -66,7 +68,7 @@ def smc_sample(
             return log_prior_fn(z) + beta * log_lik_fn(z)
         return f
 
-    def hmc_mutate(z, beta, key):
+    def hmc_mutate(z, beta, step_size, key):
         lp_fn = tempered_log_prob(beta)
         grad_fn = jax.grad(lp_fn)
 
@@ -77,9 +79,9 @@ def smc_sample(
 
             def leap(_, carry):
                 z, p = carry
-                p = p + 0.5 * cfg.step_size * grad_fn(z)
-                z = z + cfg.step_size * p
-                p = p + 0.5 * cfg.step_size * grad_fn(z)
+                p = p + 0.5 * step_size * grad_fn(z)
+                z = z + step_size * p
+                p = p + 0.5 * step_size * grad_fn(z)
                 return (z, p)
 
             z1, p1 = jax.lax.fori_loop(0, cfg.num_leapfrog, leap, (z, p0))
@@ -98,7 +100,7 @@ def smc_sample(
         (z, acc), _ = jax.lax.scan(body, (z, jnp.float32(0.0)), keys)
         return z, acc / cfg.mutation_steps
 
-    mutate_vmap = jax.vmap(hmc_mutate, in_axes=(0, None, 0))
+    mutate_vmap = jax.vmap(hmc_mutate, in_axes=(0, None, None, 0))
 
     def next_beta(beta, loglik):
         """Largest beta' in (beta, 1] with ESS(delta * loglik) >= target."""
@@ -127,8 +129,12 @@ def smc_sample(
         log_evidence: Array
         stages_used: Array
         accept: Array
+        step_size: Array
 
     def stage(c: Carry, _):
+        # After beta reaches 1, delta == 0 so the weights are uniform and the
+        # remaining stages act as plain MCMC refinement at the target — the
+        # step-size adaptation keeps working throughout.
         done = c.beta >= 1.0
         key, k_res, k_mut = jax.random.split(c.key, 3)
         loglik = lik_vmap(c.particles)
@@ -141,15 +147,23 @@ def smc_sample(
         idx = _systematic_resample(k_res, log_w, n)
         resampled = c.particles[idx]
         keys = jax.random.split(k_mut, n)
-        mutated, acc = mutate_vmap(resampled, beta_new, keys)
+        mutated, acc = mutate_vmap(resampled, beta_new, c.step_size, keys)
+        mean_acc = jnp.mean(acc)
+        # between-stage step-size adaptation toward target_accept: sharp
+        # tempered posteriors need shrinking mutation steps
+        step_new = c.step_size * jnp.exp(
+            cfg.adapt_rate * (mean_acc - cfg.target_accept)
+        )
+        step_new = jnp.clip(step_new, 1e-5, 10.0)
 
         new = Carry(
-            particles=jnp.where(done, c.particles, mutated),
-            beta=jnp.where(done, c.beta, beta_new),
+            particles=mutated,
+            beta=beta_new,
             key=key,
-            log_evidence=jnp.where(done, c.log_evidence, log_evidence),
+            log_evidence=log_evidence,
             stages_used=c.stages_used + jnp.where(done, 0, 1),
-            accept=jnp.where(done, c.accept, jnp.mean(acc)),
+            accept=mean_acc,
+            step_size=step_new,
         )
         return new, None
 
@@ -160,6 +174,7 @@ def smc_sample(
         log_evidence=jnp.float32(0.0),
         stages_used=jnp.int32(0),
         accept=jnp.float32(1.0),
+        step_size=jnp.float32(cfg.step_size),
     )
     out, _ = jax.lax.scan(stage, init, None, length=cfg.num_stages)
     return out.particles, {
@@ -167,4 +182,5 @@ def smc_sample(
         "log_evidence": out.log_evidence,
         "stages_used": out.stages_used,
         "last_accept": out.accept,
+        "final_step_size": out.step_size,
     }
