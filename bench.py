@@ -58,14 +58,16 @@ def main() -> None:
     for i in range(3):
         key, sk = jax.random.split(key)
         state, loss, _ = tr._train_step(state, tr.data, batch_idx, angle_idx, sk)
-    jax.block_until_ready(loss)
+    float(loss)
 
     iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         key, sk = jax.random.split(key)
         state, loss, _ = tr._train_step(state, tr.data, batch_idx, angle_idx, sk)
-    jax.block_until_ready(loss)
+    # a host read of the final loss forces the whole dependent chain; on this
+    # remote backend block_until_ready alone can under-wait
+    float(loss)
     dt = time.perf_counter() - t0
     steps_per_s = iters / dt
 
