@@ -104,3 +104,34 @@ def test_pallas_dynamic_angle_subset_matches_static():
     g = jax.grad(loss)(img)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.linalg.norm(g)) > 0
+
+
+def test_angle_tables_degenerate_angles_are_masked_safely():
+    """theta = 0 and pi/2 are exactly axis-aligned; the wrong-group table rows
+    must contribute exactly zero with no inf/NaN leakage."""
+    import jax.numpy as jnp
+
+    from ct_pvae_tpu.ops.pallas_radon import angle_tables, radon_pallas_dynamic
+    from ct_pvae_tpu.ops.radon import radon
+
+    n = 8
+    theta = np.array([0.0, np.pi / 2])
+    img = jnp.asarray(np.arange(n * n, dtype=np.float32).reshape(1, n, n)) / 64.0
+    tx, ty = angle_tables(theta, n, n, n)
+    assert np.isfinite(tx).all() and np.isfinite(ty).all()
+    idx = jnp.asarray([0, 1], jnp.int32)
+    out = radon_pallas_dynamic(img, jnp.asarray(tx)[idx], jnp.asarray(ty)[idx], n, True)
+    ref = radon(img, jnp.asarray(theta, jnp.float32), pad=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_radon_fast_falls_back_on_cpu():
+    from ct_pvae_tpu.ops.radon import radon, radon_fast
+
+    n = 12
+    theta = np.linspace(0, np.pi, 5, endpoint=False)
+    img = jnp.asarray(_phantom(n))
+    np.testing.assert_allclose(
+        np.asarray(radon_fast(img, theta, pad=False)),
+        np.asarray(radon(img, jnp.asarray(theta, jnp.float32), pad=False)),
+    )
