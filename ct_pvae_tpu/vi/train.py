@@ -341,7 +341,7 @@ class Trainer:
             if it % cfg.metrics_every == 0 or it == cfg.num_iter - 1:
                 loss_f = float(loss)
                 self.metrics.log(
-                    it,
+                    int(self.state.step),
                     loss=loss_f,
                     kl=float(jnp.mean(aux.kl)),
                     loglik=float(aux.loglik),
