@@ -205,23 +205,39 @@ class Trainer:
         tx = self.tx
         pnm_anneal_factor = self.pnm_anneal_factor
 
-        # Projector for the physics likelihood: the Pallas MXU kernel on a
-        # single TPU (masked dual-table form supports traced angle subsets);
-        # the XLA gather projector elsewhere (CPU tests, sharded meshes where
-        # the angle axis is partitioned).
+        # Projector for the physics likelihood: the Pallas MXU kernel (masked
+        # dual-table form supports traced angle subsets).  On a mesh the
+        # kernel runs per-shard under shard_map: batch sharded on 'data',
+        # angle subset sharded on 'angle' (the log-likelihood reduction over
+        # the sharded axes becomes an XLA psum at the loss).  The XLA gather
+        # projector remains the small-geometry/CPU fallback.
         project_fn = None
-        if (
-            cfg.use_pallas
-            and mesh is None
-            and jax.default_backend() == "tpu"
-            and n_det >= 64
-        ):
+        use_pallas = cfg.use_pallas and n_det >= 64 and (
+            jax.default_backend() == "tpu" or mesh is not None
+        )
+        if use_pallas:
             from ..ops.pallas_radon import angle_tables, radon_pallas_dynamic
             from ..ops.radon import pad_phantom
 
             table_x, table_y = angle_tables(self.theta, n_det, n_det, n_det)
             table_x = jnp.asarray(table_x)
             table_y = jnp.asarray(table_y)
+            # interpret mode makes the kernels pure-JAX for CPU test meshes
+            interpret = jax.default_backend() != "tpu"
+
+            def _project(recon_padded, sx, sy):
+                return radon_pallas_dynamic(recon_padded, sx, sy, n_det, interpret)
+
+            if mesh is not None:
+                # check_vma=False: pallas_call's out_shape carries no
+                # varying-mesh-axes annotation
+                _project_sharded = jax.shard_map(
+                    _project,
+                    mesh=mesh,
+                    in_specs=(P("data", None, None), P("angle", None), P("angle", None)),
+                    out_specs=P("data", "angle", None),
+                    check_vma=False,
+                )
 
             def project_fn(recon, angles_i):
                 if pad:
@@ -233,7 +249,9 @@ class Trainer:
                 )
                 sx = jnp.take(table_x, idx, axis=0)
                 sy = jnp.take(table_y, idx, axis=0)
-                return radon_pallas_dynamic(recon, sx, sy, n_det)
+                if mesh is not None:
+                    return _project_sharded(recon, sx, sy)
+                return _project(recon, sx, sy)
 
         def shard_batch(batch):
             if mesh is None:
