@@ -215,6 +215,17 @@ class Trainer:
         use_pallas = cfg.use_pallas and n_det >= 64 and (
             jax.default_backend() == "tpu" or mesh is not None
         )
+        if use_pallas and mesh is not None:
+            # shard_map needs exact divisibility along both sharded axes
+            a_size = mesh.shape["angle"]
+            d_size = mesh.shape["data"]
+            api = min(cfg.angles_per_iter, self.num_angles)
+            if (
+                cfg.batch_size % d_size
+                or api % a_size
+                or self.num_angles % a_size
+            ):
+                use_pallas = False
         if use_pallas:
             from ..ops.pallas_radon import angle_tables, radon_pallas_dynamic
             from ..ops.radon import pad_phantom
