@@ -16,15 +16,27 @@ from __future__ import annotations
 
 import argparse
 import sys
+from typing import Optional
 
 import numpy as np
 
 from .config import Config
 
 
-def _add_train_args(p: argparse.ArgumentParser) -> None:
-    """Reference flags (main_ct_vae.py:30-116), same dests and defaults."""
-    a = p.add_argument
+def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
+    """Reference flags (main_ct_vae.py:30-116), same dests and defaults.
+
+    With ``suppress=True`` every argument defaults to ``argparse.SUPPRESS`` so
+    the resulting namespace contains ONLY flags the user actually typed —
+    used to decide which values may override a ``--config`` file (a plain
+    parse cannot distinguish "defaulted" from "explicitly passed").
+    """
+    add = p.add_argument
+
+    def a(*names, **kw):
+        if suppress:
+            kw["default"] = argparse.SUPPRESS
+        add(*names, **kw)
     a("--ae", type=float, dest="adam_epsilon", default=1e-7)
     a("-b", type=int, dest="batch_size", default=4)
     a("--ns", type=int, dest="num_samples", default=2)
@@ -73,13 +85,24 @@ def _add_train_args(p: argparse.ArgumentParser) -> None:
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")
 
 
-def _cfg_from_args(args: argparse.Namespace) -> Config:
+def _cfg_from_args(args: argparse.Namespace, explicit: Optional[dict] = None) -> Config:
+    """Build a Config from parsed flags.
+
+    Precedence (highest first): explicitly-typed CLI flags, the ``--config``
+    file, dataclass defaults.  ``explicit`` is the namespace of a
+    ``suppress=True`` re-parse (only user-typed flags); without it, argparse
+    defaults are indistinguishable from user input and would silently override
+    the config file (store_true flags default to False, not None).
+    """
     d = vars(args).copy()
     d.pop("command", None)
     config_file = d.pop("config_file", None)
     if config_file:
         base = Config.load(config_file).to_dict()
-        base.update({k: v for k, v in d.items() if v is not None})
+        overrides = explicit if explicit is not None else {
+            k: v for k, v in d.items() if v is not None
+        }
+        base.update({k: v for k, v in overrides.items() if k != "config_file"})
         d = base
     d = {k: v for k, v in d.items() if k in Config.__dataclass_fields__}
     return Config.from_dict(d)
@@ -109,11 +132,18 @@ def cmd_make_data(argv) -> int:
     return 0
 
 
-def cmd_train(argv) -> int:
-    p = argparse.ArgumentParser(prog="train")
+def _parse_train_cfg(argv, prog: str) -> Config:
+    p = argparse.ArgumentParser(prog=prog)
     _add_train_args(p)
     args = p.parse_args(argv)
-    cfg = _cfg_from_args(args)
+    sp = argparse.ArgumentParser(prog=prog)
+    _add_train_args(sp, suppress=True)
+    explicit = vars(sp.parse_args(argv))
+    return _cfg_from_args(args, explicit=explicit)
+
+
+def cmd_train(argv) -> int:
+    cfg = _parse_train_cfg(argv, "train")
     from .vi.train import run
 
     loss_final_mean = run(cfg)
@@ -177,10 +207,7 @@ def cmd_mcmc(argv) -> int:
 
 
 def cmd_visualize(argv) -> int:
-    p = argparse.ArgumentParser(prog="visualize")
-    _add_train_args(p)
-    args = p.parse_args(argv)
-    cfg = _cfg_from_args(args)
+    cfg = _parse_train_cfg(argv, "visualize")
     from .eval.visualize import visualize_run
 
     visualize_run(cfg)

@@ -121,7 +121,21 @@ class Config:
         unknown = set(d) - names
         if unknown:
             raise ValueError(f"Unknown config keys: {sorted(unknown)}")
-        return cls(**d)
+        # Coerce scalars to the declared field type.  YAML 1.1 (pyyaml) parses
+        # "1.0e4" — no sign after the e — as a STRING, so numeric fields from
+        # config files must be converted, and ints promote to float.
+        coerced = dict(d)
+        for f in dataclasses.fields(cls):
+            if f.name not in coerced or coerced[f.name] is None:
+                continue
+            v = coerced[f.name]
+            if f.type in ("float", "Optional[float]") and not isinstance(v, float):
+                coerced[f.name] = float(v)
+            elif f.type in ("int", "Optional[int]") and not isinstance(v, int):
+                coerced[f.name] = int(v)
+            elif f.type == "bool" and isinstance(v, str):
+                coerced[f.name] = v.strip().lower() in ("1", "true", "yes", "on")
+        return cls(**coerced)
 
     @classmethod
     def load(cls, path: str) -> "Config":

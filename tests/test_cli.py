@@ -46,3 +46,42 @@ def test_sweep_config_validation(tmp_path):
 
 def test_compare_projectors_argument_validation():
     assert main(["compare-projectors", "--n", "0"]) == 2
+
+
+def test_config_file_merge_precedence(tmp_path):
+    """--config values win over argparse defaults; typed flags win over both.
+
+    Regression: store_true flags default to False (not None), so a naive
+    merge silently overrode every config-file boolean/numeric with the
+    argparse default (e.g. train: true in the YAML became False).
+    """
+    from ct_pvae_tpu.cli import _parse_train_cfg
+
+    cfgfile = tmp_path / "c.yaml"
+    cfgfile.write_text(
+        "train: true\n"
+        "truncate_dataset: 1000\n"
+        "num_iter: 77\n"
+        "compute_dtype: bfloat16\n"
+        "poisson_noise_multiplier: 1.0e4\n"
+        "pnm_start: 1.0e3\n"
+        "algorithms: [sirt, tv, fbp, gridrec]\n"
+    )
+    cfg = _parse_train_cfg(["--config", str(cfgfile)], "train")
+    assert cfg.train is True
+    assert cfg.truncate_dataset == 1000
+    assert cfg.num_iter == 77
+    assert cfg.compute_dtype == "bfloat16"
+    # YAML 1.1 parses 1.0e4 (no sign) as a string; Config must coerce.
+    assert cfg.poisson_noise_multiplier == 1e4
+    assert isinstance(cfg.poisson_noise_multiplier, float)
+    assert cfg.pnm_start == 1e3
+    assert cfg.algorithms == ["sirt", "tv", "fbp", "gridrec"]
+
+    # An explicitly typed flag overrides the file, even at its default value.
+    cfg = _parse_train_cfg(["--config", str(cfgfile), "--td", "100"], "train")
+    assert cfg.truncate_dataset == 100
+
+    # Without a config file the reference defaults hold.
+    cfg = _parse_train_cfg(["--train", "-i", "50"], "train")
+    assert cfg.train is True and cfg.num_iter == 50 and cfg.use_normal is False
