@@ -17,6 +17,7 @@ import numpy as np
 
 from ..mcmc import HMCConfig, NUTSConfig, SMCConfig, hmc_sample, nuts_sample, smc_sample
 from ..mcmc.toy_model import toy_posterior_sampler, toy_joint_log_prob
+from ..parallel.chains import make_chains_mesh, shard_chains
 from ..prob.bijectors import IteratedSigmoidCentered
 from ..prob.distributions import toy_prior
 
@@ -54,6 +55,14 @@ def run_toy_mcmc(
     log_prob = toy_posterior_sampler(meas, theta_used, mask_used, poisson_noise_multiplier)
     init = jnp.zeros((num_chains, 3))  # uniform simplex (ref :91-97)
 
+    # Shard the chain axis across every local device (ICI/DCN via the mesh);
+    # single-device runs take the mesh=None no-op path.
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and num_chains % n_dev == 0:
+        mesh = make_chains_mesh(n_dev)
+        init = shard_chains(mesh, init)
+
     t0 = time.time()
     if sampler == "hmc":
         cfg = HMCConfig(
@@ -70,6 +79,8 @@ def run_toy_mcmc(
         init_particles = IteratedSigmoidCentered.inverse(
             prior.sample(k1, (max(number_of_steps // 100, 512),))
         )
+        if n_dev > 1 and init_particles.shape[0] % n_dev == 0:
+            init_particles = shard_chains(make_chains_mesh(n_dev), init_particles)
 
         def log_prior(x):
             o = IteratedSigmoidCentered.forward(x)

@@ -1,4 +1,5 @@
 from .mesh import batch_sharding, make_mesh, replicated_sharding
+from .chains import make_chains_mesh, shard_chains
 from .distributed import host_local_batch_slice, initialize, is_primary
 
 __all__ = [
