@@ -80,6 +80,7 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--seed", type=int, dest="seed", default=0)
     a("--mesh_data", type=int, dest="mesh_data", default=1)
     a("--mesh_angle", type=int, dest="mesh_angle", default=1)
+    a("--norm_type", dest="norm_type", default=None, choices=["instance"])
     a("--metrics_every", type=int, dest="metrics_every", default=1)
     a("--compute_dtype", dest="compute_dtype", default="float32")
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")

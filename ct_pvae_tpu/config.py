@@ -51,6 +51,10 @@ class Config:
     intermediate_layers: int = 2              # --il
     intermediate_kernel: int = 4              # --ik
     dropout_prob: float = 0.0                 # --dp
+    # Post-maxout normalization inside conv blocks.  The reference selects
+    # norm_type but hard-disables it (apply_norm=False, main_ct_vae.py:286);
+    # here "instance" actually works (models/pvae.py:InstanceNorm).
+    norm_type: Optional[str] = None           # None | "instance"
     use_normal: bool = True                   # --normal (Normal vs Beta latents/output)
     deterministic: bool = False               # --det
 

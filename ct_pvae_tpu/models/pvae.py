@@ -22,8 +22,9 @@ are static; maxout fuses into the conv epilogue.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -49,12 +50,36 @@ def _shrink_pad(size: int, stride: int, kernel: int) -> Tuple[int, int]:
     return (pad // 2 + pad % 2, pad // 2)
 
 
+class InstanceNorm(nn.Module):
+    """Per-example, per-channel normalization with learned scale/offset.
+
+    The reference defines a custom InstanceNormalization layer
+    (models.py:346-372), selectable via ``norm_type`` but dormant because
+    ``apply_norm`` is hard-coded False (main_ct_vae.py:286).  Here the same
+    capability is live behind ``Config.norm_type`` (default off, matching the
+    reference's effective behavior).  Stateless — no running statistics — so
+    it composes with the pure train step.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        offset = self.param("offset", nn.initializers.zeros, (x.shape[-1],))
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * inv * scale + offset
+
+
 class ConvBlock(nn.Module):
     features: int
     kernel: int
     stride: int = 1
     transpose: bool = False
     dropout: float = 0.0
+    norm: Optional[str] = None  # None | "instance" (ref models.py:336-340)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -72,7 +97,12 @@ class ConvBlock(nn.Module):
             xp = _periodic_pad(x, px, py)
             x1 = nn.Conv(self.features, k, strides=s, padding="VALID", kernel_init=_GLOROT, dtype=self.dtype)(xp)
             x2 = nn.Conv(self.features, k, strides=s, padding="VALID", kernel_init=_GLOROT, dtype=self.dtype)(xp)
-        return jnp.maximum(x1, x2)
+        out = jnp.maximum(x1, x2)
+        if self.norm == "instance":
+            out = InstanceNorm()(out.astype(jnp.float32)).astype(out.dtype)
+        elif self.norm is not None:
+            raise ValueError(f"unknown norm {self.norm!r} (use None or 'instance')")
+        return out
 
 
 class Encoder(nn.Module):
@@ -86,6 +116,7 @@ class Encoder(nn.Module):
     intermediate_kernel: int
     dropout: float = 0.0
     feature_maps_multiplier: int = 2
+    norm: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,11 +129,11 @@ class Encoder(nn.Module):
             for _ in range(self.intermediate_layers):
                 x = ConvBlock(
                     x.shape[-1], self.intermediate_kernel, 1,
-                    dropout=self.dropout, dtype=self.dtype,
+                    dropout=self.dropout, norm=self.norm, dtype=self.dtype,
                 )(x, training=training)
             x = ConvBlock(
                 self.feature_maps[i], self.kernel, self.stride,
-                dropout=self.dropout, dtype=self.dtype,
+                dropout=self.dropout, norm=self.norm, dtype=self.dtype,
             )(x, training=training)
             skips.append(x)
         # float32 at the interface: skips parameterize distributions
@@ -119,6 +150,7 @@ class Decoder(nn.Module):
     intermediate_layers: int
     intermediate_kernel: int
     dropout: float = 0.0
+    norm: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -129,12 +161,12 @@ class Decoder(nn.Module):
             target_x, target_y, target_z = self.skip_shapes[i]
             x = ConvBlock(
                 target_z, self.kernel, self.stride, transpose=True,
-                dropout=self.dropout, dtype=self.dtype,
+                dropout=self.dropout, norm=self.norm, dtype=self.dtype,
             )(x, training=training)
             for _ in range(self.intermediate_layers):
                 x = ConvBlock(
                     x.shape[-1], self.intermediate_kernel, 1,
-                    dropout=self.dropout, dtype=self.dtype,
+                    dropout=self.dropout, norm=self.norm, dtype=self.dtype,
                 )(x, training=training)
             # center-crop to the skip's spatial dims (reference models.py:181-191)
             rx = x.shape[1] - target_x
@@ -180,6 +212,7 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         intermediate_kernel=cfg.intermediate_kernel,
         dropout=cfg.dropout_prob,
         feature_maps_multiplier=fmm,
+        norm=getattr(cfg, "norm_type", None) or None,
         dtype=dtype,
     )
     shapes = latent_shapes(x_size, y_size, in_channels, cfg)
@@ -191,6 +224,7 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         intermediate_layers=cfg.intermediate_layers,
         intermediate_kernel=cfg.intermediate_kernel,
         dropout=cfg.dropout_prob,
+        norm=getattr(cfg, "norm_type", None) or None,
         dtype=dtype,
     )
     return enc, dec, shapes

@@ -4,6 +4,7 @@ This is the reference's minimum slice (SURVEY.md §7 step 5): toy discrete
 dataset -> masks -> classical init -> P-VAE ELBO steps -> final evaluation.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -104,3 +105,21 @@ def test_toy_trainer_deterministic_mode(tmp_path_factory, toy_data):
     tr.train()
     assert np.isfinite(tr.metrics.history["loss"]).all()
     assert np.allclose(tr.metrics.history["kl"], 0.0)
+
+
+def test_toy_trainer_instance_norm(tmp_path_factory, toy_data):
+    """--norm_type instance: the reference's dormant InstanceNormalization,
+    live here (models/pvae.py:InstanceNorm)."""
+    images, sinos, theta = toy_data
+    cfg = toy_config(
+        truncate_dataset=16, num_iter=3, num_samples=1,
+        save_path=str(tmp_path_factory.mktemp("toy_inorm")), train=True,
+        norm_type="instance", intermediate_layers=1, num_blocks=2,
+        pnm_start=None, poisson_noise_multiplier=1e3,
+    )
+    tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
+    tr.train()
+    assert np.isfinite(tr.metrics.history["loss"]).all()
+    # norm params exist in the tree
+    flat = jax.tree_util.tree_leaves_with_path(tr.state.params)
+    assert any("InstanceNorm" in jax.tree_util.keystr(p) for p, _ in flat)
