@@ -41,6 +41,10 @@ class Config:
     toy_masks: bool = False                   # --toy_masks
     no_pad: bool = False                      # --no_pad
     algorithms: List[str] = field(default_factory=lambda: ["gridrec"])  # --algorithms
+    # Random-roll angle augmentation: the reference ships this disabled and
+    # flagged "XXX check correct" (helper_functions.py:85-92); here it is
+    # implemented correctly (vi/augment.py) and opt-in.
+    roll_augment: bool = False                # --roll
 
     # --- model architecture (ref main_ct_vae.py:47-50, 57-66, 89-90) ---
     num_blocks: int = 3                       # --nb

@@ -238,3 +238,48 @@ def backproject(
 
     out = jax.vmap(interp)(sino_flat)
     return out.reshape(batch_shape + (x_size, y_size))
+
+
+@jax.jit
+def rotate_image(images: Array, angles: Array) -> Array:
+    """Bilinear center-rotation of a batch of images, one angle per image.
+
+    The TPU-native replacement for the reference's remaining
+    ``tfa.image.rotate`` call site — the (disabled) random-roll augmentation
+    rotates the encoder-input stack to match a rolled sinogram
+    (helper_functions.py:138-142).  Positive ``angles`` rotate the object the
+    same way the projector's angle axis advances, so
+    ``radon(rotate_image(x, phi)) == roll(radon(x))`` (see vi/augment.py).
+    Zero fill outside the support.
+
+    Args:
+      images: (B, H, W) or (B, H, W, C)
+      angles: (B,) radians
+    """
+    squeeze = images.ndim == 3
+    if squeeze:
+        images = images[..., None]
+    b, h, w, c = images.shape
+    cx = (h - 1) / 2.0
+    cy = (w - 1) / 2.0
+    xg, yg = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def one(img, ang):
+        cos = jnp.cos(ang)
+        sin = jnp.sin(ang)
+        # sample source at coordinates rotated by -ang (pull-back)
+        xs = cos * (xg - cx) + sin * (yg - cy) + cx
+        ys = -sin * (xg - cx) + cos * (yg - cy) + cy
+        taps = _bilinear_taps(xs, ys, h, w)
+        flat = img.reshape(h * w, c)
+        return sum(
+            jnp.take(flat, fi.reshape(-1), axis=0).reshape(h, w, c) * wg[..., None]
+            for fi, wg in taps
+        )
+
+    out = jax.vmap(one)(images, angles.astype(jnp.float32))
+    return out[..., 0] if squeeze else out

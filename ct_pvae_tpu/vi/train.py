@@ -281,6 +281,11 @@ class Trainer:
 
         def step(state: TrainState, data: Dict, batch_idx, angle_idx, key):
             batch = {k: jnp.take(v, batch_idx, axis=0) for k, v in data.items()}
+            if training and cfg.roll_augment:
+                from .augment import roll_batch
+
+                key, roll_key = jax.random.split(key)
+                batch = roll_batch(batch, theta, roll_key)
             batch = shard_batch(batch)
             kl_anneal = (
                 jnp.clip(state.kl_anneal * cfg.kl_anneal_factor, 0.0, 100.0)

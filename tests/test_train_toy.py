@@ -123,3 +123,18 @@ def test_toy_trainer_instance_norm(tmp_path_factory, toy_data):
     # norm params exist in the tree
     flat = jax.tree_util.tree_leaves_with_path(tr.state.params)
     assert any("InstanceNorm" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_toy_trainer_roll_augment(tmp_path_factory, toy_data):
+    """--roll: the reference's disabled random-roll augmentation, corrected
+    (vi/augment.py) and running inside the jitted step."""
+    images, sinos, theta = toy_data
+    cfg = toy_config(
+        truncate_dataset=16, num_iter=3, num_samples=1,
+        save_path=str(tmp_path_factory.mktemp("toy_roll")), train=True,
+        roll_augment=True, intermediate_layers=1, num_blocks=2,
+        pnm_start=None, poisson_noise_multiplier=1e3,
+    )
+    tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
+    tr.train()
+    assert np.isfinite(tr.metrics.history["loss"]).all()
