@@ -177,9 +177,12 @@ def cmd_merit(argv) -> int:
     rec = np.load(os.path.join(args.save_path, "reconstruction_final.npy"))
     masks = np.load(os.path.join(args.save_path, "all_masks.npy"))
     proj = np.load(os.path.join(args.save_path, "all_proj_samples.npy"))
+    mean_path = os.path.join(args.save_path, "reconstruction_mean.npy")
+    rec_mean = np.load(mean_path) if os.path.exists(mean_path) else None
     final_merit(
         gt, sinos, masks, proj, rec, theta,
         args.poisson_noise_multiplier, save_path=args.save_path,
+        reconstruction_mean=rec_mean,
     )
     return 0
 

@@ -33,9 +33,14 @@ def final_merit(
     save_path: Optional[str] = None,
     seed: int = 0,
     batch: int = 32,
+    reconstruction_mean: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Returns final_ave_merit (3, 3): rows = (full-sino FBP, partial-sino FBP,
-    P-VAE), cols = (MSE, SSIM, PSNR).  Saved as final_ave_merit.npy."""
+    P-VAE), cols = (MSE, SSIM, PSNR).  Saved as final_ave_merit.npy.
+
+    ``reconstruction_mean`` (rebuild-only): the posterior-mean reconstruction;
+    scored as an extra row printed and saved to final_ave_merit_mean.npy —
+    the 3-row parity artifact is unchanged."""
     if reconstruction_final.ndim == 4:
         reconstruction_final = reconstruction_final[..., 0]
     n = reconstruction_final.shape[0]
@@ -117,4 +122,17 @@ def final_merit(
     if save_path is not None:
         os.makedirs(save_path, exist_ok=True)
         np.save(os.path.join(save_path, "final_ave_merit.npy"), final_ave_merit)
+
+    if reconstruction_mean is not None:
+        if reconstruction_mean.ndim == 4:
+            reconstruction_mean = reconstruction_mean[..., 0]
+        per_ex = np.stack(
+            [compare(gt[i], np.asarray(reconstruction_mean[i], np.float32)) for i in range(n)],
+            axis=0,
+        )
+        mean_row = per_ex.mean(axis=0)
+        print("P-VAE posterior mean (no sampling speckle)")
+        print(mean_row)
+        if save_path is not None:
+            np.save(os.path.join(save_path, "final_ave_merit_mean.npy"), mean_row)
     return final_ave_merit

@@ -53,6 +53,7 @@ class ElboAux(NamedTuple):
     log_prob_R_given_z: Array  # scalar (negative-entropy term, last sample)
     recon_sample: Array       # (B, x, y) one decoded sample (for eval paths)
     recon_params: Tuple[Array, Array]  # output dist params of the last sample
+    recon_mean: Array         # (B, x, y) output-dist mean averaged over ELBO samples
 
 
 def physics_log_likelihood(
@@ -166,6 +167,7 @@ def elbo_loss(
             lp_R_given_z = out_dist.log_prob(jnp.clip(out_sample, _EPS, 1.0 - _EPS))
 
         recon = out_sample[..., 0]  # (B, x, y)
+        recon_mean = out_dist.mean()[..., 0]
         bound_proj = None if project_fn is None else (lambda r: project_fn(r, angles_i))
         lp_M_given_R = physics_log_likelihood(
             recon, mask_sub, proj_sub, theta_sub, pnm, pad, n_det,
@@ -174,7 +176,7 @@ def elbo_loss(
         # Reference sums BOTH terms over all axes including batch (:305-311).
         lp_phys = jnp.sum(lp_M_given_R)
         lp_self = jnp.sum(lp_R_given_z)
-        return lp_phys + lp_self, (lp_phys, lp_self, recon, (out_loc, out_scale))
+        return lp_phys + lp_self, (lp_phys, lp_self, recon, (out_loc, out_scale), recon_mean)
 
     sample_keys = jax.random.split(key, num_samples)
     lps, auxs = jax.vmap(one_sample)(sample_keys)
@@ -183,6 +185,7 @@ def elbo_loss(
     lp_self_last = auxs[1][-1]
     recon_last = auxs[2][-1]
     recon_params = (auxs[3][0][-1], auxs[3][1][-1])
+    recon_mean = jnp.mean(auxs[4], axis=0)  # E over ELBO samples of E[R|z]
 
     if deterministic:
         kl = jnp.zeros((input_encode.shape[0],), jnp.float32)
@@ -203,4 +206,5 @@ def elbo_loss(
         log_prob_R_given_z=lp_self_last,
         recon_sample=recon_last,
         recon_params=recon_params,
+        recon_mean=recon_mean,
     )

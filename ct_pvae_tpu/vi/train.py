@@ -416,7 +416,7 @@ class Trainer:
         stream = IndexStream(len(self.x_train_sinograms), cfg.batch_size, 0, shuffle=False)
         key = jax.random.PRNGKey(cfg.seed + 3)
         start = time.time()
-        losses, recons = [], []
+        losses, recons, recon_means = [], [], []
         angle_all = jnp.arange(self.num_angles, dtype=jnp.int32)
         for _ in range(self.train_size // cfg.batch_size):
             key, skey = jax.random.split(key)
@@ -426,6 +426,7 @@ class Trainer:
             losses.append(float(loss))
             # ref collects output_dist.sample() (a draw, not the mean, :446)
             recons.append(np.asarray(aux.recon_sample)[..., None])
+            recon_means.append(np.asarray(aux.recon_mean)[..., None])
         loss_final = np.asarray(losses)
         reconstruction_final = np.concatenate(recons, axis=0)
         if cfg.save_path:
@@ -433,6 +434,13 @@ class Trainer:
             np.save(
                 os.path.join(cfg.save_path, "reconstruction_final.npy"),
                 reconstruction_final,
+            )
+            # rebuild-only extra: the posterior-mean reconstruction (no
+            # per-pixel sampling speckle); the sampled artifact above keeps
+            # the reference quirk for parity scoring
+            np.save(
+                os.path.join(cfg.save_path, "reconstruction_mean.npy"),
+                np.concatenate(recon_means, axis=0),
             )
             np.save(
                 os.path.join(cfg.save_path, "final_train_time.npy"),
