@@ -344,6 +344,101 @@ def cmd_check(argv) -> int:
     return 0
 
 
+def cmd_bench_samplers(argv) -> int:
+    """Posterior-sampling throughput: draws/s for HMC/NUTS/SMC on the toy
+    posterior, chains/particles sharded over all local devices.
+
+    The reference's comparable path is a single TFP HMC chain
+    (bin/toy_mcmc_v2.py:139-148); there is no reference throughput number
+    (SURVEY.md §6), so this prints absolute draws/s for the record.
+    Timing forces a host read of a data-dependency-chained result (see
+    BENCH.md: block_until_ready alone under-waits on the remote backend).
+    """
+    p = argparse.ArgumentParser(prog="bench-samplers")
+    p.add_argument("--chains", type=int, default=512)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--burnin", type=int, default=500)
+    p.add_argument("--pnm", type=float, default=1e3)
+    p.add_argument("--samplers", nargs="+", default=["hmc", "nuts", "smc"])
+    args = p.parse_args(argv)
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .data.toy import generate_toy_images
+    from .mcmc import HMCConfig, NUTSConfig, SMCConfig, hmc_sample, nuts_sample, smc_sample
+    from .mcmc.toy_model import toy_posterior_sampler, toy_joint_log_prob
+    from .parallel.chains import make_chains_mesh, shard_chains
+    from .prob.bijectors import IteratedSigmoidCentered
+    from .prob.distributions import toy_prior
+
+    # toy geometry: 2x2 object, theta={0, pi/2}, mask=[1,0] (ref toy_mcmc_v2.py:40-51)
+    obj = jnp.asarray(generate_toy_images(num_tiles=1)[0])
+    theta = jnp.asarray([0.0, jnp.pi / 2], jnp.float32)
+    proj = jnp.stack([obj.sum(axis=0), obj.sum(axis=1)])  # analytic row/col sums
+    mask = jnp.asarray([1.0, 0.0])
+    key = jax.random.PRNGKey(0)
+    meas = jax.random.poisson(key, proj * mask[:, None] * args.pnm) / args.pnm
+    used = np.asarray(mask) > 0
+    theta_u = theta[np.nonzero(used)[0]]
+    mask_u = mask[np.nonzero(used)[0]]
+    meas_u = meas[np.nonzero(used)[0]]
+    log_prob = toy_posterior_sampler(meas_u, theta_u, mask_u, args.pnm)
+
+    n_dev = len(jax.devices())
+    mesh = make_chains_mesh(n_dev) if n_dev > 1 and args.chains % n_dev == 0 else None
+    init = jnp.zeros((args.chains, 3))
+    if mesh is not None:
+        init = shard_chains(mesh, init)
+
+    def timed(name, fn, draws):
+        out = fn(jax.random.PRNGKey(1))        # compile + warmup
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        t0 = time.perf_counter()
+        out = fn(jax.random.PRNGKey(2))
+        # force a host read through the result to defeat async dispatch
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
+        dt = time.perf_counter() - t0
+        print(f"{name:6s} {draws/dt:12.0f} draws/s   ({draws} draws in {dt:.2f}s, "
+              f"{args.chains} chains x {n_dev} device(s))")
+
+    for s in args.samplers:
+        if s == "hmc":
+            cfg = HMCConfig(num_results=args.steps, num_burnin=args.burnin,
+                            num_leapfrog=5, step_size=6.5e-2, num_adaptation=400)
+            timed("hmc", lambda k: hmc_sample(log_prob, init, k, cfg)[0],
+                  args.steps * args.chains)
+        elif s == "nuts":
+            cfg = NUTSConfig(num_results=args.steps, num_burnin=args.burnin,
+                             step_size=6.5e-2)
+            timed("nuts", lambda k: nuts_sample(log_prob, init, k, cfg)[0],
+                  args.steps * args.chains)
+        elif s == "smc":
+            prior = toy_prior()
+            k1 = jax.random.PRNGKey(3)
+            particles = IteratedSigmoidCentered.inverse(prior.sample(k1, (args.chains,)))
+            if mesh is not None:
+                particles = shard_chains(mesh, particles)
+
+            def log_prior(x):
+                o = IteratedSigmoidCentered.forward(x)
+                return prior.log_prob(o) + IteratedSigmoidCentered.forward_log_det_jacobian(x)
+
+            def log_lik(x):
+                o = IteratedSigmoidCentered.forward(x)
+                return toy_joint_log_prob(o, meas_u, theta_u, mask_u, args.pnm) - \
+                    prior.log_prob(jnp.maximum(o, np.finfo(np.float32).tiny))
+
+            cfg = SMCConfig(num_particles=args.chains)
+            timed("smc", lambda k: smc_sample(log_prior, log_lik, particles, k, cfg)[0],
+                  args.chains)
+        else:
+            print(f"unknown sampler {s!r}")
+            return 2
+    return 0
+
+
 COMMANDS = {
     "check": cmd_check,
     "make-data": cmd_make_data,
@@ -354,6 +449,7 @@ COMMANDS = {
     "boxplot": cmd_boxplot,
     "sweep": cmd_sweep,
     "compare-projectors": cmd_compare_projectors,
+    "bench-samplers": cmd_bench_samplers,
 }
 
 
