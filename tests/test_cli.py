@@ -85,3 +85,16 @@ def test_config_file_merge_precedence(tmp_path):
     # Without a config file the reference defaults hold.
     cfg = _parse_train_cfg(["--train", "-i", "50"], "train")
     assert cfg.train is True and cfg.num_iter == 50 and cfg.use_normal is False
+
+
+def test_bench_samplers_smoke(capsys):
+    rc = main(["bench-samplers", "--chains", "8", "--steps", "20",
+               "--burnin", "5", "--samplers", "hmc"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "draws/s" in out
+
+
+def test_bench_samplers_unknown_sampler():
+    assert main(["bench-samplers", "--chains", "4", "--steps", "5",
+                 "--burnin", "1", "--samplers", "bogus"]) == 2
