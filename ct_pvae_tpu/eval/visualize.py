@@ -70,6 +70,7 @@ def visualize_run(cfg: Config, trainer=None) -> dict:
     )
 
     output_reconstruction = np.asarray(aux.recon_sample[0])  # (x, y)
+    output_mean = np.asarray(aux.recon_mean[0])              # (x, y), no speckle
     computed_sinogram = radon(
         jnp.asarray(output_reconstruction), theta, pad=not cfg.no_pad,
         n_det=trainer.num_proj_pix,
@@ -102,6 +103,7 @@ def visualize_run(cfg: Config, trainer=None) -> dict:
         )
         _plot(save, "ReconFromActualSinogram", recon0, title="Recon from Actual Sinogram")
         _plot(save, "ReconFromPVAE", output_reconstruction, title="Recon from P-VAE")
+        _plot(save, "ReconFromPVAEMean", output_mean, title="Recon from P-VAE (posterior mean)")
         _plot(save, "ReconFromInputPartialSinogram", recon2, title="Recon from Partial Sinogram")
 
     if not cfg.real_data and cfg.input_path:
@@ -116,4 +118,6 @@ def visualize_run(cfg: Config, trainer=None) -> dict:
         results["partial"] = compare(gt, r2, verbose=True)
         print("Reconstruction from P-VAE")
         results["pvae"] = compare(gt, output_reconstruction, verbose=True)
+        print("Reconstruction from P-VAE (posterior mean)")
+        results["pvae_mean"] = compare(gt, output_mean, verbose=True)
     return results
