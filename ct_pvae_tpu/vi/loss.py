@@ -167,7 +167,9 @@ def elbo_loss(
             lp_R_given_z = out_dist.log_prob(jnp.clip(out_sample, _EPS, 1.0 - _EPS))
 
         recon = out_sample[..., 0]  # (B, x, y)
-        recon_mean = out_dist.mean()[..., 0]
+        # posterior mean is an eval-path output; in training it would be
+        # unused compute in every step (the jitted step returns aux whole)
+        recon_mean = recon if training else out_dist.mean()[..., 0]
         bound_proj = None if project_fn is None else (lambda r: project_fn(r, angles_i))
         lp_M_given_R = physics_log_likelihood(
             recon, mask_sub, proj_sub, theta_sub, pnm, pad, n_det,
