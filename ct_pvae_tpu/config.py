@@ -45,6 +45,10 @@ class Config:
     # flagged "XXX check correct" (helper_functions.py:85-92); here it is
     # implemented correctly (vi/augment.py) and opt-in.
     roll_augment: bool = False                # --roll
+    # Reuse cached masks/measurements/recon-stack from save_path even when
+    # training (content-checked by shape; SURVEY.md §5.4 build note).  The
+    # reference only reloads these when train=False.
+    reuse_cache: bool = False                 # --reuse_cache
 
     # --- model architecture (ref main_ct_vae.py:47-50, 57-66, 89-90) ---
     num_blocks: int = 3                       # --nb

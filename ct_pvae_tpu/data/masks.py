@@ -64,20 +64,28 @@ def create_all_masks(
     truncate_dataset: int = 100,
     toy_masks: bool = False,
     seed: int = 0,
+    reuse_cache: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Build (or reload) masks and noisy sparse measurements.
 
     Returns (all_masks (N, A), all_proj_samples (N, A, P)); persists both under
     ``save_path`` per the artifact contract (create_masks.py:72, :103).
+    ``reuse_cache`` reloads matching cached artifacts even in train mode (the
+    reference always regenerates when training); shape-mismatched caches are
+    regenerated.
     """
     sinos = np.asarray(x_train_sinograms[:truncate_dataset], np.float32)
     sinos = np.clip(sinos, 0.0, None)
     n = sinos.shape[0]
 
-    if not train and save_path is not None:
-        all_masks = np.load(os.path.join(save_path, "all_masks.npy"))
-        all_proj_samples = np.load(os.path.join(save_path, "all_proj_samples.npy"))
-        return all_masks, all_proj_samples
+    if save_path is not None and (not train or reuse_cache):
+        mp = os.path.join(save_path, "all_masks.npy")
+        pp = os.path.join(save_path, "all_proj_samples.npy")
+        if not train or (os.path.exists(mp) and os.path.exists(pp)):
+            all_masks = np.load(mp)
+            all_proj_samples = np.load(pp)
+            if not reuse_cache or all_proj_samples.shape == sinos.shape:
+                return all_masks, all_proj_samples
 
     all_masks = make_masks(n, num_angles, num_sparse_angles, random, toy_masks, seed)
     proj_masked = sinos * all_masks[:, :, None]

@@ -62,6 +62,7 @@ def classical_recon_stack(
     save_path: Optional[str] = None,
     train: bool = True,
     batch: int = 32,
+    reuse_cache: bool = False,
 ) -> np.ndarray:
     """Build the (N, x, y, num_algorithms+1) encoder-input stack.
 
@@ -69,10 +70,18 @@ def classical_recon_stack(
     mask is nonzero (helper_functions.py:494-499), each algorithm reconstructs
     the full-angle sinogram (zeros at unmeasured angles), and the final channel
     is the unfiltered backprojection of the mask itself (:514-516).  Cached to
-    ``all_input_encode.npy`` (:525-527).
+    ``all_input_encode.npy`` (:525-527).  ``reuse_cache`` reloads a matching
+    cache even in train mode (shape-checked against the request).
     """
-    if not train and save_path is not None:
-        return np.load(os.path.join(save_path, "all_input_encode.npy"))
+    if save_path is not None:
+        cache = os.path.join(save_path, "all_input_encode.npy")
+        if not train:
+            return np.load(cache)
+        if reuse_cache and os.path.exists(cache):
+            stack = np.load(cache)
+            want = (len(all_proj_samples), x_size, y_size, len(algorithms) + 1)
+            if stack.shape == want:
+                return stack
 
     proj = np.asarray(all_proj_samples, np.float32)
     masks = np.asarray(all_masks, np.float32)

@@ -113,6 +113,7 @@ class Trainer:
             truncate_dataset=cfg.truncate_dataset,
             toy_masks=cfg.toy_masks,
             seed=cfg.seed,
+            reuse_cache=cfg.reuse_cache,
         )
         self.x_train_sinograms = sinograms
 
@@ -126,6 +127,7 @@ class Trainer:
             self.y_size,
             save_path=cfg.save_path,
             train=cfg.train,
+            reuse_cache=cfg.reuse_cache,
         )
         self.train_size = (len(sinograms) // cfg.batch_size) * cfg.batch_size
 

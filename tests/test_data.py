@@ -134,3 +134,38 @@ def test_classical_recon_stack_shape_and_channels(tmp_path):
     stack2 = classical_recon_stack(noisy, masks, theta, ["gridrec", "sirt"], 32, 32,
                                    save_path=str(tmp_path), train=False)
     np.testing.assert_array_equal(stack, stack2)
+
+
+def test_reuse_cache_masks_and_stack(tmp_path):
+    """--reuse_cache: train-mode reload of cached preprocessing when shapes
+    match; regeneration otherwise."""
+    import os
+
+    from ct_pvae_tpu.data.masks import create_all_masks
+    from ct_pvae_tpu.data.recon_init import classical_recon_stack
+
+    rng = np.random.default_rng(0)
+    sinos = rng.uniform(0.1, 1.0, size=(6, 8, 9)).astype(np.float32)
+    theta = np.linspace(0, np.pi, 8, endpoint=False).astype(np.float32)
+    sp = str(tmp_path)
+
+    m1, p1 = create_all_masks(sinos, 8, save_path=sp, num_sparse_angles=2,
+                              train=True, truncate_dataset=6, seed=0)
+    # poison the cache to prove reuse loads it rather than regenerating
+    np.save(os.path.join(sp, "all_proj_samples.npy"), p1 * 2.0)
+    _, p2 = create_all_masks(sinos, 8, save_path=sp, num_sparse_angles=2,
+                             train=True, truncate_dataset=6, seed=0,
+                             reuse_cache=True)
+    np.testing.assert_allclose(p2, p1 * 2.0)
+    # shape mismatch -> regenerated
+    _, p3 = create_all_masks(sinos, 8, save_path=sp, num_sparse_angles=2,
+                             train=True, truncate_dataset=4, seed=0,
+                             reuse_cache=True)
+    assert p3.shape[0] == 4
+
+    stack1 = classical_recon_stack(p1, m1, theta, ["gridrec"], 4, 4,
+                                   save_path=sp, train=True)
+    np.save(os.path.join(sp, "all_input_encode.npy"), stack1 + 1.0)
+    stack2 = classical_recon_stack(p1, m1, theta, ["gridrec"], 4, 4,
+                                   save_path=sp, train=True, reuse_cache=True)
+    np.testing.assert_allclose(stack2, stack1 + 1.0)
