@@ -40,7 +40,8 @@ def main() -> None:
         num_iter=1,
         save_path=None,
         algorithms=["gridrec"],  # init algorithms don't affect step cost
-        compute_dtype="bfloat16",  # MXU-rate convs; params/distributions f32
+        compute_dtype="float32",   # quality-run dtype; bf16 convs train poorly
+                                   # and buy ~no speed (projector dominates)
     )
     n_pixel = 128
     rng = np.random.default_rng(0)
