@@ -176,11 +176,16 @@ class Decoder(nn.Module):
             x = x[:, ox : ox + target_x, oy : oy + target_y, :]
             if i > 0:  # do not concatenate the input-level skip (models.py:192-193)
                 x = jnp.concatenate([x, latents[i]], axis=-1)
+        # Output head always computes in float32: with bf16 here, the ~0.4%
+        # relative quantization of per-pixel output params accumulates along
+        # the projector's ~W-pixel ray sums into projection errors many times
+        # the measurement noise sigma at high pnm, destroying the physics
+        # gradient (measured: SSIM 0.011 bf16 vs 0.195 f32 at 6k iters).
         x = ConvBlock(
             self.final_channels * 2, self.kernel, 1,
-            dropout=self.dropout, dtype=self.dtype,
-        )(x, training=training)
-        mean, var = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+            dropout=self.dropout, dtype=jnp.float32,
+        )(x.astype(jnp.float32), training=training)
+        mean, var = jnp.split(x, 2, axis=-1)
         return mean, var
 
 
