@@ -74,9 +74,11 @@ def create_masks(
     save_tag: str = "masks",
     random: bool = False,
     seed: int = 0,
+    noise_model: str = "poisson",
 ):
     """Masks + noisy measurements under ``input_path/save_tag``
-    (functions_high_level.create_masks:77-131)."""
+    (functions_high_level.create_masks:77-131; ``noise_model="gaussian"`` is
+    its Gaussian-approximation variant, :124-127)."""
     import os
 
     from .data import io as data_io
@@ -92,6 +94,7 @@ def create_masks(
         train=True,
         truncate_dataset=len(sinos),
         seed=seed,
+        noise_model=noise_model,
     )
 
 

@@ -65,6 +65,7 @@ def create_all_masks(
     toy_masks: bool = False,
     seed: int = 0,
     reuse_cache: bool = False,
+    noise_model: str = "poisson",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Build (or reload) masks and noisy sparse measurements.
 
@@ -92,11 +93,21 @@ def create_all_masks(
 
     if real_data:
         all_proj_samples = proj_masked
-    else:
+    elif noise_model == "poisson":
         key = jax.random.PRNGKey(seed)
         rate = jnp.asarray(proj_masked) * poisson_noise_multiplier
         draws = jax.random.poisson(key, rate).astype(jnp.float32)
         all_proj_samples = np.asarray(draws) / poisson_noise_multiplier
+    elif noise_model == "gaussian":
+        # Gaussian approximation of the Poisson measurement — the library
+        # API's alternative noise model (functions_high_level.py:124-127):
+        # Normal(proj_masked, sqrt(proj_masked/pnm)), unclipped like the ref.
+        key = jax.random.PRNGKey(seed)
+        sigma = np.sqrt(proj_masked / poisson_noise_multiplier)
+        eps = np.asarray(jax.random.normal(key, proj_masked.shape), np.float32)
+        all_proj_samples = proj_masked + sigma * eps
+    else:
+        raise ValueError(f"unknown noise_model {noise_model!r}")
 
     if save_path is not None:
         os.makedirs(save_path, exist_ok=True)

@@ -169,3 +169,27 @@ def test_reuse_cache_masks_and_stack(tmp_path):
     stack2 = classical_recon_stack(p1, m1, theta, ["gridrec"], 4, 4,
                                    save_path=sp, train=True, reuse_cache=True)
     np.testing.assert_allclose(stack2, stack1 + 1.0)
+
+
+def test_gaussian_noise_model_moments():
+    """noise_model='gaussian': Normal(proj, sqrt(proj/pnm)) approximation
+    (functions_high_level.py:124-127) — mean/variance match the target."""
+    from ct_pvae_tpu.data.masks import create_all_masks
+
+    rng = np.random.default_rng(1)
+    sinos = rng.uniform(0.5, 1.0, size=(2000, 4, 3)).astype(np.float32)
+    pnm = 100.0
+    masks, samples = create_all_masks(
+        sinos, 4, poisson_noise_multiplier=pnm, num_sparse_angles=4,
+        train=True, truncate_dataset=2000, seed=0, noise_model="gaussian",
+    )
+    proj = sinos * masks[:, :, None]
+    resid = samples - proj
+    np.testing.assert_allclose(resid.mean(), 0.0, atol=5e-4)
+    np.testing.assert_allclose(
+        resid.std(), np.sqrt(proj / pnm).mean(), rtol=0.05
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        create_all_masks(sinos, 4, num_sparse_angles=4, train=True,
+                         truncate_dataset=8, noise_model="bogus")
