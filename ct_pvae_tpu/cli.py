@@ -356,11 +356,19 @@ def cmd_bench_samplers(argv) -> int:
     BENCH.md: block_until_ready alone under-waits on the remote backend).
     """
     p = argparse.ArgumentParser(prog="bench-samplers")
-    p.add_argument("--chains", type=int, default=512)
+    p.add_argument("--chains", type=int, default=512,
+                   help="total chains; with --scaling, chains PER DEVICE")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--burnin", type=int, default=500)
     p.add_argument("--pnm", type=float, default=1e3)
     p.add_argument("--samplers", nargs="+", default=["hmc", "nuts", "smc"])
+    p.add_argument("--devices", type=int, default=None,
+                   help="use only the first K local devices (default: all)")
+    p.add_argument("--scaling", action="store_true",
+                   help="weak-scaling sweep over 1,2,4,...,K devices: chains "
+                        "per device held constant; prints draws/s and "
+                        "efficiency vs 1 device (the BASELINE.md samples/s "
+                        "scaling measurement — run on a multi-chip slice)")
     args = p.parse_args(argv)
     import time
 
@@ -387,13 +395,12 @@ def cmd_bench_samplers(argv) -> int:
     meas_u = meas[np.nonzero(used)[0]]
     log_prob = toy_posterior_sampler(meas_u, theta_u, mask_u, args.pnm)
 
-    n_dev = len(jax.devices())
-    mesh = make_chains_mesh(n_dev) if n_dev > 1 and args.chains % n_dev == 0 else None
-    init = jnp.zeros((args.chains, 3))
-    if mesh is not None:
-        init = shard_chains(mesh, init)
+    all_devices = jax.devices()
+    if args.devices is not None:
+        all_devices = all_devices[: args.devices]
+    max_dev = len(all_devices)
 
-    def timed(name, fn, draws):
+    def timed(name, fn, draws, chains, n_dev):
         out = fn(jax.random.PRNGKey(1))        # compile + warmup
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         t0 = time.perf_counter()
@@ -401,42 +408,76 @@ def cmd_bench_samplers(argv) -> int:
         # force a host read through the result to defeat async dispatch
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
         dt = time.perf_counter() - t0
-        print(f"{name:6s} {draws/dt:12.0f} draws/s   ({draws} draws in {dt:.2f}s, "
-              f"{args.chains} chains x {n_dev} device(s))")
+        rate = draws / dt
+        print(f"{name:6s} {rate:12.0f} draws/s   ({draws} draws in {dt:.2f}s, "
+              f"{chains} chains x {n_dev} device(s))")
+        return rate
 
-    for s in args.samplers:
-        if s == "hmc":
-            cfg = HMCConfig(num_results=args.steps, num_burnin=args.burnin,
-                            num_leapfrog=5, step_size=6.5e-2, num_adaptation=400)
-            timed("hmc", lambda k: hmc_sample(log_prob, init, k, cfg)[0],
-                  args.steps * args.chains)
-        elif s == "nuts":
-            cfg = NUTSConfig(num_results=args.steps, num_burnin=args.burnin,
-                             step_size=6.5e-2)
-            timed("nuts", lambda k: nuts_sample(log_prob, init, k, cfg)[0],
-                  args.steps * args.chains)
-        elif s == "smc":
-            prior = toy_prior()
-            k1 = jax.random.PRNGKey(3)
-            particles = IteratedSigmoidCentered.inverse(prior.sample(k1, (args.chains,)))
-            if mesh is not None:
-                particles = shard_chains(mesh, particles)
+    def run_samplers(n_dev, chains):
+        """Time each requested sampler with `chains` sharded over n_dev devices."""
+        mesh = (make_chains_mesh(n_dev, devices=all_devices)
+                if n_dev > 1 and chains % n_dev == 0 else None)
+        init = jnp.zeros((chains, 3))
+        if mesh is not None:
+            init = shard_chains(mesh, init)
+        rates = {}
+        for s in args.samplers:
+            if s == "hmc":
+                cfg = HMCConfig(num_results=args.steps, num_burnin=args.burnin,
+                                num_leapfrog=5, step_size=6.5e-2, num_adaptation=400)
+                rates[s] = timed("hmc", lambda k: hmc_sample(log_prob, init, k, cfg)[0],
+                                 args.steps * chains, chains, n_dev)
+            elif s == "nuts":
+                cfg = NUTSConfig(num_results=args.steps, num_burnin=args.burnin,
+                                 step_size=6.5e-2)
+                rates[s] = timed("nuts", lambda k: nuts_sample(log_prob, init, k, cfg)[0],
+                                 args.steps * chains, chains, n_dev)
+            elif s == "smc":
+                prior = toy_prior()
+                k1 = jax.random.PRNGKey(3)
+                particles = IteratedSigmoidCentered.inverse(prior.sample(k1, (chains,)))
+                if mesh is not None:
+                    particles = shard_chains(mesh, particles)
 
-            def log_prior(x):
-                o = IteratedSigmoidCentered.forward(x)
-                return prior.log_prob(o) + IteratedSigmoidCentered.forward_log_det_jacobian(x)
+                def log_prior(x):
+                    o = IteratedSigmoidCentered.forward(x)
+                    return prior.log_prob(o) + IteratedSigmoidCentered.forward_log_det_jacobian(x)
 
-            def log_lik(x):
-                o = IteratedSigmoidCentered.forward(x)
-                return toy_joint_log_prob(o, meas_u, theta_u, mask_u, args.pnm) - \
-                    prior.log_prob(jnp.maximum(o, np.finfo(np.float32).tiny))
+                def log_lik(x):
+                    o = IteratedSigmoidCentered.forward(x)
+                    return toy_joint_log_prob(o, meas_u, theta_u, mask_u, args.pnm) - \
+                        prior.log_prob(jnp.maximum(o, np.finfo(np.float32).tiny))
 
-            cfg = SMCConfig(num_particles=args.chains)
-            timed("smc", lambda k: smc_sample(log_prior, log_lik, particles, k, cfg)[0],
-                  args.chains)
-        else:
-            print(f"unknown sampler {s!r}")
-            return 2
+                cfg = SMCConfig(num_particles=chains)
+                rates[s] = timed("smc", lambda k: smc_sample(log_prior, log_lik,
+                                                             particles, k, cfg)[0],
+                                 chains, chains, n_dev)
+            else:
+                print(f"unknown sampler {s!r}")
+                raise SystemExit(2)
+        return rates
+
+    if not args.scaling:
+        run_samplers(max_dev, args.chains)
+        return 0
+
+    # Weak scaling: chains-per-device constant; perfect scaling = flat
+    # draws/s/device.  Efficiency vs the 1-device run is the BASELINE.md
+    # "samples/s scaling" number (>=80% target on 2+ hosts).
+    sweep = [1]
+    while sweep[-1] * 2 <= max_dev:
+        sweep.append(sweep[-1] * 2)
+    base = {}
+    for n_dev in sweep:
+        rates = run_samplers(n_dev, args.chains * n_dev)
+        for s, r in rates.items():
+            per_dev = r / n_dev
+            if n_dev == 1:
+                base[s] = per_dev
+                continue
+            eff = per_dev / base[s]
+            print(f"  -> {s}: {per_dev:.0f} draws/s/device, "
+                  f"weak-scaling efficiency vs 1 device: {eff:.0%}")
     return 0
 
 
