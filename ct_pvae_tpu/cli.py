@@ -454,12 +454,11 @@ def cmd_bench_samplers(argv) -> int:
                                  chains, chains, n_dev)
             else:
                 print(f"unknown sampler {s!r}")
-                raise SystemExit(2)
+                return None
         return rates
 
     if not args.scaling:
-        run_samplers(max_dev, args.chains)
-        return 0
+        return 0 if run_samplers(max_dev, args.chains) is not None else 2
 
     # Weak scaling: chains-per-device constant; perfect scaling = flat
     # draws/s/device.  Efficiency vs the 1-device run is the BASELINE.md
@@ -470,6 +469,8 @@ def cmd_bench_samplers(argv) -> int:
     base = {}
     for n_dev in sweep:
         rates = run_samplers(n_dev, args.chains * n_dev)
+        if rates is None:
+            return 2
         for s, r in rates.items():
             per_dev = r / n_dev
             if n_dev == 1:

@@ -95,6 +95,18 @@ def test_bench_samplers_smoke(capsys):
     assert "draws/s" in out
 
 
+def test_bench_samplers_scaling_sweep(capsys):
+    # weak-scaling sweep over the 8 virtual CPU devices: chains-per-device
+    # constant, efficiency printed for every multi-device point
+    rc = main(["bench-samplers", "--chains", "4", "--steps", "10",
+               "--burnin", "2", "--samplers", "hmc", "--scaling",
+               "--devices", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "x 1 device(s)" in out and "x 4 device(s)" in out
+    assert "weak-scaling efficiency" in out
+
+
 def test_bench_samplers_unknown_sampler():
     assert main(["bench-samplers", "--chains", "4", "--steps", "5",
                  "--burnin", "1", "--samplers", "bogus"]) == 2
