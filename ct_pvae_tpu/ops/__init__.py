@@ -1,4 +1,4 @@
-from .radon import num_proj_pixels, pad_phantom, radon, backproject
+from .radon import num_proj_pixels, pad_phantom, radon, radon_low_mem, backproject
 from .fbp import fbp, fourier_filter
 from .sirt import sirt
 from .tv import tv_reconstruct
@@ -7,6 +7,7 @@ __all__ = [
     "num_proj_pixels",
     "pad_phantom",
     "radon",
+    "radon_low_mem",
     "backproject",
     "fbp",
     "fourier_filter",

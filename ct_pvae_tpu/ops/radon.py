@@ -112,14 +112,13 @@ def _bilinear_taps(x: Array, y: Array, h: int, w: int):
     return taps
 
 
-@partial(jax.jit, static_argnames=("pad", "n_det", "step_chunk"))
+@partial(jax.jit, static_argnames=("pad", "n_det"))
 def radon(
     image: Array,
     theta: Array,
     *,
     pad: bool = False,
     n_det: Optional[int] = None,
-    step_chunk: Optional[int] = None,
 ) -> Array:
     """Radon transform of ``image`` at angles ``theta``.
 
@@ -157,6 +156,44 @@ def radon(
     sino = sum(gather_tap(fi, wg) for fi, wg in taps)
     sino = jnp.sum(sino, axis=2)  # integrate over ray steps
     return sino.reshape(batch_shape + (a, n_det))
+
+
+@partial(jax.jit, static_argnames=("pad", "n_det", "angle_chunk"))
+def radon_low_mem(
+    image: Array,
+    theta: Array,
+    *,
+    pad: bool = False,
+    n_det: Optional[int] = None,
+    angle_chunk: int = 8,
+) -> Array:
+    """Memory-bounded Radon transform: ``lax.map`` over angle chunks.
+
+    The reference keeps a per-angle-loop variant for exactly this purpose
+    (``project_tf_low_mem``, forward_functions.py:49-78).  :func:`radon`
+    materializes (B, A, S, P) gather intermediates — ~400 MB per bilinear tap
+    at B=16, A=180, 184² — while this variant bounds the live intermediate to
+    ``angle_chunk/A`` of that, trading one sequential scan over angle chunks.
+    Same math, same gradients (scan differentiates chunk-wise).
+
+    ``A`` must be divisible by ``angle_chunk`` (pad theta or pick a divisor).
+    """
+    if pad:
+        image = pad_phantom(image, n_det)
+    h, w = image.shape[-2], image.shape[-1]
+    if n_det is None:
+        if h != w:
+            raise ValueError("unpadded radon requires square images; use pad=True")
+        n_det = h
+    a = theta.shape[0]
+    if a % angle_chunk != 0:
+        raise ValueError(f"angle count {a} not divisible by angle_chunk {angle_chunk}")
+    theta_chunks = theta.reshape((a // angle_chunk, angle_chunk))
+    sino_chunks = jax.lax.map(
+        lambda th: radon(image, th, pad=False, n_det=n_det), theta_chunks
+    )  # (A/chunk, ..., chunk, P)
+    sino = jnp.moveaxis(sino_chunks, 0, -3)  # (..., A/chunk, chunk, P)
+    return sino.reshape(image.shape[:-2] + (a, n_det))
 
 
 def radon_fast(

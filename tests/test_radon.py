@@ -184,6 +184,35 @@ def test_tv_reconstructs_phantom():
     assert err < 0.25, err
 
 
+def test_radon_low_mem_matches_radon():
+    """Chunk-scanned variant == full gather variant, values and gradients.
+
+    Mirrors the reference's project_tf_fast vs project_tf_low_mem equivalence
+    (forward_functions.py:49-123; manually checked there via
+    tomopy_forward_compare.py)."""
+    from ct_pvae_tpu.ops import radon_low_mem
+
+    n = 12
+    img = jnp.stack([_phantom(n), _phantom(n).T])
+    theta = jnp.linspace(0, np.pi, 8, endpoint=False)
+    full = radon(img, theta, pad=True)
+    chunked = radon_low_mem(img, theta, pad=True, angle_chunk=4)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), rtol=0, atol=1e-5)
+
+    def loss_full(im):
+        return jnp.sum(radon(im, theta, pad=True) ** 2)
+
+    def loss_chunked(im):
+        return jnp.sum(radon_low_mem(im, theta, pad=True, angle_chunk=4) ** 2)
+
+    g1 = jax.grad(loss_full)(img)
+    g2 = jax.grad(loss_chunked)(img)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=0, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        radon_low_mem(img, theta, pad=True, angle_chunk=3)
+
+
 def test_radon_gradients_flow():
     n = 16
     theta = jnp.linspace(0, np.pi, 5, endpoint=False)
