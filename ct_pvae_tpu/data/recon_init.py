@@ -40,14 +40,22 @@ def crop_center(img: np.ndarray, final_x: int, final_y: int):
     ]
 
 
-def _recon(algorithm: str, sino, theta, size: int):
+def _recon(algorithm: str, sino, theta, size: int, fwd=None, adj=None):
     if algorithm == "gridrec":
         return fbp(sino, theta, size, size, "ramp")
     if algorithm == "fbp":
         return fbp(sino, theta, size, size, "shepp-logan")
     if algorithm == "sirt":
+        if fwd is not None:
+            from ..ops.sirt import sirt_with_ops
+
+            return sirt_with_ops(sino, fwd, adj, size, size, num_iter=30)
         return sirt(sino, theta, size, size, num_iter=30)
     if algorithm == "tv":
+        if fwd is not None:
+            from ..ops.tv import tv_with_ops
+
+            return tv_with_ops(sino, fwd, adj, size, size, num_iter=60)
         return tv_reconstruct(sino, theta, size, size, num_iter=60)
     raise ValueError(f"unknown algorithm {algorithm!r}")
 
@@ -93,9 +101,27 @@ def classical_recon_stack(
 
     size = p  # reconstruct at detector resolution, then crop (like tomopy)
 
+    # SIRT (30) + TV (60) fwd+adj applications dominate this stage.  Angles
+    # are concrete here, so on TPU route them through the Pallas MXU kernel
+    # pair (exact-transpose adjoint) instead of the XLA gather projector —
+    # ~8x per application (BENCH.md).  FBP stays on the pixel-driven
+    # backprojector (one application; its interpolation semantics set the
+    # encoder-input look the quality runs were tuned on).
+    fwd_p = adj_p = None
+    if jax.default_backend() == "tpu" and {"sirt", "tv"} & set(algorithms):
+        from ..ops.pallas_radon import backproject_pallas, radon_pallas
+
+        theta_t = tuple(float(t) for t in np.asarray(theta))
+
+        def fwd_p(img):
+            return radon_pallas(img.astype(jnp.float32), theta_t, size)
+
+        def adj_p(sino):
+            return backproject_pallas(sino.astype(jnp.float32), theta_t, size, size)
+
     @jax.jit
     def recon_batch(sino_b, mask_b):
-        chans = [_recon(alg, sino_b, theta_j, size) for alg in algorithms]
+        chans = [_recon(alg, sino_b, theta_j, size, fwd_p, adj_p) for alg in algorithms]
         chans.append(fbp(mask_b, theta_j, size, size, "none"))
         return jnp.stack(chans, axis=-1)  # (B, size, size, C)
 

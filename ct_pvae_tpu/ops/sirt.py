@@ -22,6 +22,37 @@ from .radon import backproject, radon
 Array = jnp.ndarray
 
 
+def sirt_with_ops(
+    sinogram: Array,
+    fwd,
+    adj,
+    x_size: int,
+    y_size: int,
+    num_iter: int = 30,
+    eps: float = 1e-6,
+) -> Array:
+    """SIRT with an injected projector/adjoint pair (not jitted — caller jits).
+
+    Lets the classical-init stage run its 30 fwd+adj applications through the
+    Pallas MXU kernels when angles are concrete (data/recon_init.py), while
+    :func:`sirt` keeps the traced-theta XLA pair."""
+    ones_img = jnp.ones(sinogram.shape[:-2] + (x_size, y_size), sinogram.dtype)
+    row_sum = fwd(ones_img)  # A 1
+    ones_sino = jnp.ones_like(sinogram)
+    col_sum = adj(ones_sino)  # A^T 1
+    r = 1.0 / jnp.clip(row_sum, eps, None)
+    c = 1.0 / jnp.clip(col_sum, eps, None)
+
+    def body(x, _):
+        resid = sinogram - fwd(x)
+        x = jax.nn.relu(x + c * adj(r * resid))
+        return x, None
+
+    x0 = jnp.zeros_like(ones_img)
+    x_final, _ = jax.lax.scan(body, x0, None, length=num_iter)
+    return x_final
+
+
 @partial(jax.jit, static_argnames=("x_size", "y_size", "num_iter"))
 def sirt(
     sinogram: Array,
@@ -52,18 +83,4 @@ def sirt(
             full = full[..., ox : ox + x_size, oy : oy + y_size]
         return full
 
-    ones_img = jnp.ones(sinogram.shape[:-2] + (x_size, y_size), sinogram.dtype)
-    row_sum = fwd(ones_img)  # A 1
-    ones_sino = jnp.ones_like(sinogram)
-    col_sum = adj(ones_sino)  # A^T 1
-    r = 1.0 / jnp.clip(row_sum, eps, None)
-    c = 1.0 / jnp.clip(col_sum, eps, None)
-
-    def body(x, _):
-        resid = sinogram - fwd(x)
-        x = jax.nn.relu(x + c * adj(r * resid))
-        return x, None
-
-    x0 = jnp.zeros_like(ones_img)
-    x_final, _ = jax.lax.scan(body, x0, None, length=num_iter)
-    return x_final
+    return sirt_with_ops(sinogram, fwd, adj, x_size, y_size, num_iter, eps)
