@@ -80,6 +80,7 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--seed", type=int, dest="seed", default=0)
     a("--mesh_data", type=int, dest="mesh_data", default=1)
     a("--mesh_angle", type=int, dest="mesh_angle", default=1)
+    a("--multihost", action="store_true", dest="multihost")
     a("--norm_type", dest="norm_type", default=None, choices=["instance"])
     a("--roll", action="store_true", dest="roll_augment")
     a("--reuse_cache", action="store_true", dest="reuse_cache")
@@ -147,6 +148,10 @@ def _parse_train_cfg(argv, prog: str) -> Config:
 
 def cmd_train(argv) -> int:
     cfg = _parse_train_cfg(argv, "train")
+    if cfg.multihost:
+        from .parallel import initialize
+
+        initialize()
     from .vi.train import run
 
     loss_final_mean = run(cfg)

@@ -88,6 +88,10 @@ class Config:
     # implied — sizes multiply to the device count used.
     mesh_data: int = 1                        # data-parallel axis size
     mesh_angle: int = 1                       # angle-sharding axis size
+    # Multi-host: jax.distributed.initialize() before building the mesh
+    # (coordinator/process env vars or Cloud-TPU metadata; parallel/
+    # distributed.py).  Host 0 owns checkpoints and metrics artifacts.
+    multihost: bool = False                   # --multihost
     # Where compute happens: "auto" uses the default backend.
     use_pallas: bool = True                   # use Pallas projector kernels on TPU
     # Conv-stack compute dtype; "bfloat16" targets the TPU MXU at full rate

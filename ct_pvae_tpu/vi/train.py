@@ -31,6 +31,7 @@ from ..data import io as data_io
 from ..data.masks import create_all_masks
 from ..data.recon_init import classical_recon_stack
 from ..models.pvae import build_models
+from ..parallel.distributed import is_primary
 from ..parallel.mesh import make_mesh
 from ..utils.batching import IndexStream
 from ..utils.metrics import MetricsLogger
@@ -391,18 +392,20 @@ class Trainer:
             if not setup_time_saved:
                 # ref saves setup wall-clock at first iter (main_ct_vae.py:403-408)
                 setup_time_saved = True
-                if cfg.save_path:
+                if cfg.save_path and is_primary():
                     np.save(
                         os.path.join(cfg.save_path, "setup_time.npy"),
                         (time.time() - self.setup_start_time) / 60.0,
                     )
                 start_time = time.time()
-            if cfg.save_path and (it % cfg.save_interval == 0 or it == cfg.num_iter - 1):
+            if cfg.save_path and is_primary() and (
+                it % cfg.save_interval == 0 or it == cfg.num_iter - 1
+            ):
                 self.metrics.save_npy_contract()
                 self.checkpoint()
         if profile_started:
             jax.profiler.stop_trace()
-        if cfg.save_path:
+        if cfg.save_path and is_primary():
             np.save(
                 os.path.join(cfg.save_path, "training_time.npy"),
                 (time.time() - start_time) / 60.0,
@@ -431,7 +434,7 @@ class Trainer:
             recon_means.append(np.asarray(aux.recon_mean)[..., None])
         loss_final = np.asarray(losses)
         reconstruction_final = np.concatenate(recons, axis=0)
-        if cfg.save_path:
+        if cfg.save_path and is_primary():
             np.save(os.path.join(cfg.save_path, "loss_final.npy"), loss_final)
             np.save(
                 os.path.join(cfg.save_path, "reconstruction_final.npy"),
@@ -453,6 +456,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def checkpoint(self) -> str:
+        # multi-host: host 0 owns checkpoints/metrics (SURVEY.md §5.8); params
+        # are replicated identically on every host (same seed, psummed grads)
+        if not is_primary():
+            return ""
         ckpt_dir = os.path.join(self.cfg.save_path, "training_checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
         n = int(self.state.step)
