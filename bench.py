@@ -2,11 +2,19 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
+What is timed: ``Trainer.train()`` itself — the loop users actually run — on
+the paper-scale foam recipe (b=10, 128^2 images, api=20 angles, ns=2 ELBO
+samples, 5 encoder-input channels: gridrec+sirt+tv+fbp+mask, README.md:221),
+after a warmup pass that absorbs compilation.  Round 1 timed only the bare
+jitted step on a 2-channel config; the live run then stepped ~8x slower
+because the loop did 4 blocking host reads per step (VERDICT.md Weak #1).
+Both causes are fixed: metrics now flush device->host in blocks, and this
+harness times the full loop on the full-channel config.
+
 The reference publishes no steps/s numbers (SURVEY.md §6); its per-run timing
 artifacts are wall-clock minutes on unspecified hardware.  ``vs_baseline``
 therefore reports against REF_STEPS_PER_S_ESTIMATE, our documented estimate of
-the reference TF2.8 implementation on its era GPU for the paper-scale foam
-recipe (b=10, 128^2 images, api=20 angles, ns=2 ELBO samples — README.md:221).
+the reference TF2.8 implementation on its era GPU for the same recipe.
 BASELINE.md's build target is >=5x that estimate (vs_baseline >= 5).
 """
 
@@ -26,20 +34,20 @@ REF_STEPS_PER_S_ESTIMATE = 5.0
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from ct_pvae_tpu.config import foam_paper_config
     from ct_pvae_tpu.data.sinogram import images_to_sinograms
     from ct_pvae_tpu.vi.train import Trainer
 
-    # Paper-scale per-step shapes (README.md:221), truncated dataset for setup
-    # speed (dataset size does not affect per-step cost: batch is a gather).
+    # Paper-scale per-step shapes (README.md:221) including all four init
+    # algorithms (5 encoder channels), truncated dataset for setup speed
+    # (dataset size does not affect per-step cost: batch is a gather).
+    timed_iters = 200
     cfg = foam_paper_config(
         truncate_dataset=20,
         train=True,
-        num_iter=1,
+        num_iter=timed_iters,
         save_path=None,
-        algorithms=["gridrec"],  # init algorithms don't affect step cost
         compute_dtype="float32",   # quality-run dtype; bf16 convs train poorly
                                    # and buy ~no speed (projector dominates)
     )
@@ -50,32 +58,24 @@ def main() -> None:
     sinos = images_to_sinograms(imgs, theta, pad=True, batch=cfg.truncate_dataset)
 
     tr = Trainer(cfg, sinograms=sinos, theta=theta)
-    key = jax.random.PRNGKey(0)
-    batch_idx = jnp.arange(cfg.batch_size, dtype=jnp.int32)
-    angle_idx = jnp.arange(cfg.angles_per_iter, dtype=jnp.int32)
 
-    # compile + warmup
-    state = tr.state
-    for i in range(3):
-        key, sk = jax.random.split(key)
-        state, loss, _ = tr._train_step(state, tr.data, batch_idx, angle_idx, sk)
-    float(loss)
+    # Warmup: one short train() pass absorbs jit compilation (the jitted step
+    # is cached on the Trainer, so the timed pass below reuses it).
+    tr.cfg = cfg.replace(num_iter=3)
+    tr.train()
 
-    iters = 30
+    tr.cfg = cfg
     t0 = time.perf_counter()
-    for i in range(iters):
-        key, sk = jax.random.split(key)
-        state, loss, _ = tr._train_step(state, tr.data, batch_idx, angle_idx, sk)
-    # a host read of the final loss forces the whole dependent chain; on this
-    # remote backend block_until_ready alone can under-wait
-    float(loss)
+    tr.train()
+    # train() ends by flushing the final metrics block (a host read of the
+    # last step's loss), so the dependent chain is fully forced here.
     dt = time.perf_counter() - t0
-    steps_per_s = iters / dt
+    steps_per_s = timed_iters / dt
 
     print(
         json.dumps(
             {
-                "metric": "foam_elbo_train_steps_per_s_per_chip",
+                "metric": "foam_paper_train_loop_steps_per_s_per_chip",
                 "value": round(steps_per_s, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_s / REF_STEPS_PER_S_ESTIMATE, 3),

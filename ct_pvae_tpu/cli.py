@@ -84,7 +84,7 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--norm_type", dest="norm_type", default=None, choices=["instance"])
     a("--roll", action="store_true", dest="roll_augment")
     a("--reuse_cache", action="store_true", dest="reuse_cache")
-    a("--metrics_every", type=int, dest="metrics_every", default=1)
+    a("--metrics_every", type=int, dest="metrics_every", default=50)
     a("--compute_dtype", dest="compute_dtype", default="float32")
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")
 

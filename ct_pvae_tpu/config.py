@@ -103,7 +103,9 @@ class Config:
     # experiments.
     compute_dtype: str = "float32"
     buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
-    metrics_every: int = 1                    # record loss every N iters
+    # metrics flush block: per-step loss/kl/loglik stay on device and cross
+    # to host as ONE stacked array every N steps (all steps still logged)
+    metrics_every: int = 50
     # jax.profiler trace of this many train steps into <save_path>/profile
     # (the reference only records wall-clock .npy timings, SURVEY.md §5.1)
     profile_steps: int = 0

@@ -340,10 +340,15 @@ class Trainer:
                     kl_anneal=kl_anneal,
                     step=state.step + 1,
                 )
-            else:
-                loss, aux = loss_fn(state.params)
-                new_state = state
-            return new_state, loss, aux
+                # compact on-device metrics: the loop reads these back in
+                # blocks of cfg.metrics_every (ONE host transfer per block)
+                # instead of the reference's 4 blocking reads per step
+                metrics = jnp.stack(
+                    [loss, jnp.mean(aux.kl), aux.loglik, kl_anneal]
+                )
+                return new_state, metrics
+            loss, aux = loss_fn(state.params)
+            return state, loss, aux
 
         return step
 
@@ -358,6 +363,15 @@ class Trainer:
         setup_time_saved = False
         start_time = time.time()
         profile_started = False
+        # Per-step metrics stay on device; every ``metrics_every`` steps ONE
+        # stacked (N,4) array crosses to host and all N rows are logged (full
+        # per-step resolution, none of the reference's per-step host syncs).
+        # The NaN-loss stop (ref main_ct_vae.py:401-402) fires on the same
+        # block cadence.
+        start_step = int(self.state.step)
+        flush_every = max(1, cfg.metrics_every)
+        metric_buf = []
+        stop = False
         for it in range(cfg.num_iter):
             if cfg.profile_steps and cfg.save_path:
                 # trace steps [2, 2+profile_steps) after warmup/compile
@@ -368,27 +382,31 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profile_started = False
             key, skey = jax.random.split(key)
-            self.state, loss, aux = self._train_step(
+            self.state, step_metrics = self._train_step(
                 self.state,
                 self.data,
                 jnp.asarray(batch_stream.next()),
                 jnp.asarray(angle_stream.next()),
                 skey,
             )
-            if it % cfg.metrics_every == 0 or it == cfg.num_iter - 1:
-                loss_f = float(loss)
-                self.metrics.log(
-                    int(self.state.step),
-                    loss=loss_f,
-                    kl=float(jnp.mean(aux.kl)),
-                    loglik=float(aux.loglik),
-                    kl_anneal=float(self.state.kl_anneal),
-                )
-                if np.isnan(loss_f):
+            metric_buf.append(step_metrics)
+            if len(metric_buf) >= flush_every or it == cfg.num_iter - 1:
+                block = np.asarray(jnp.stack(metric_buf))  # one device->host read
+                first = start_step + it + 1 - len(metric_buf) + 1
+                for j, row in enumerate(block):
+                    self.metrics.log(
+                        first + j,
+                        loss=row[0],
+                        kl=row[1],
+                        loglik=row[2],
+                        kl_anneal=row[3],
+                    )
+                metric_buf = []
+                if np.isnan(block[:, 0]).any():
                     # ref aborts on NaN loss (main_ct_vae.py:401-402); we stop
                     # training but keep artifacts.
-                    print(f"NaN loss at iter {it}; stopping training loop")
-                    break
+                    print(f"NaN loss within steps ending at iter {it}; stopping")
+                    stop = True
             if not setup_time_saved:
                 # ref saves setup wall-clock at first iter (main_ct_vae.py:403-408)
                 setup_time_saved = True
@@ -403,6 +421,8 @@ class Trainer:
             ):
                 self.metrics.save_npy_contract()
                 self.checkpoint()
+            if stop:
+                break
         if profile_started:
             jax.profiler.stop_trace()
         if cfg.save_path and is_primary():
