@@ -227,12 +227,16 @@ def cmd_visualize(argv) -> int:
 
 def cmd_boxplot(argv) -> int:
     p = argparse.ArgumentParser(prog="boxplot")
-    p.add_argument("--save_paths", nargs="+", required=True)
+    p.add_argument("--save_paths", nargs="+", required=True,
+                   help="random-mask run dirs (trials)")
+    p.add_argument("--uniform_paths", nargs="+", default=None,
+                   help="paired uniform-mask run dirs; defaults to "
+                        "<save_path>_uniform siblings when they all exist")
     p.add_argument("--out", default=".")
     args = p.parse_args(argv)
     from .eval.boxplot import make_box_plots
 
-    make_box_plots(args.save_paths, args.out)
+    make_box_plots(args.save_paths, args.out, uniform_paths=args.uniform_paths)
     return 0
 
 

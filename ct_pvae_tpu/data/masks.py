@@ -34,10 +34,17 @@ def make_masks(
 ) -> np.ndarray:
     """(N, A) float mask array, scaled by 1/num_sparse_angles."""
     if toy_masks:
+        if num_angles != 2:
+            raise ValueError(
+                f"toy_masks requires num_angles == 2 (got {num_angles}); the "
+                "patterns are the fixed 2-angle alternation of create_masks.py:37-42"
+            )
         base = np.array([[1, 0], [0, 1], [1, 0], [0, 1]], np.float32)
         reps = int(np.ceil(num_examples / 4))
         masks = np.tile(base, (reps, 1))[:num_examples]
-        return masks / 1.0  # toy uses nsa=1 per pattern row
+        # dose normalization applies to toy masks too (create_masks.py:60-61);
+        # the standard toy recipe uses nsa=1 where this is a no-op
+        return masks / num_sparse_angles
 
     rng = np.random.default_rng(seed)
     masks = np.zeros((num_examples, num_angles), np.float32)

@@ -66,6 +66,17 @@ def test_toy_masks_alternating():
     np.testing.assert_array_equal(masks[:4], [[1, 0], [0, 1], [1, 0], [0, 1]])
 
 
+def test_toy_masks_dose_normalized_for_nsa2():
+    # create_masks.py:60-61 divides toy masks by nsa like every other mode
+    masks = make_masks(4, 2, 2, toy_masks=True)
+    np.testing.assert_array_equal(masks[:2], [[0.5, 0], [0, 0.5]])
+
+
+def test_toy_masks_require_two_angles():
+    with pytest.raises(ValueError, match="num_angles == 2"):
+        make_masks(4, 180, 1, toy_masks=True)
+
+
 def test_create_all_masks_poisson_noise_and_cache(tmp_path):
     rng = np.random.default_rng(0)
     sinos = rng.uniform(0.5, 1.0, size=(8, 6, 10)).astype(np.float32)

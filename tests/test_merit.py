@@ -31,3 +31,66 @@ def test_final_merit_orders_conditions(tmp_path):
     assert psnr_pvae > psnr_full > psnr_partial
     saved = np.load(f"{tmp_path}/final_ave_merit.npy")
     np.testing.assert_array_equal(saved, merit)
+
+
+def test_boxplot_five_condition_protocol(tmp_path):
+    """Paired random/uniform trials map into the reference's 5-column layout
+    (create_box_plot.py:42-47) with median-trial finders; figures render."""
+    from ct_pvae_tpu.eval.boxplot import (
+        five_condition_table,
+        make_box_plots,
+        median_trials,
+        pair_uniform_paths,
+    )
+
+    rng = np.random.default_rng(0)
+    rand_paths, unif_paths = [], []
+    for t in range(3):
+        rp = tmp_path / f"trial{t}"
+        up = tmp_path / f"trial{t}_uniform"
+        for p in (rp, up):
+            p.mkdir()
+        np.save(rp / "final_ave_merit.npy", rng.uniform(0, 1, (3, 3)))
+        np.save(up / "final_ave_merit.npy", rng.uniform(0, 1, (3, 3)))
+        rand_paths.append(str(rp))
+        unif_paths.append(str(up))
+
+    assert pair_uniform_paths(rand_paths) == unif_paths
+
+    rand = np.stack([np.load(p + "/final_ave_merit.npy") for p in rand_paths])
+    unif = np.stack([np.load(p + "/final_ave_merit.npy") for p in unif_paths])
+    tab = five_condition_table(rand, unif)
+    assert tab.shape == (3, 5, 3)
+    np.testing.assert_array_equal(tab[:, 0], rand[:, 0])  # gridrec full
+    np.testing.assert_array_equal(tab[:, 1], unif[:, 1])  # partial uniform
+    np.testing.assert_array_equal(tab[:, 2], rand[:, 1])  # partial random
+    np.testing.assert_array_equal(tab[:, 3], unif[:, 2])  # P-VAE uniform
+    np.testing.assert_array_equal(tab[:, 4], rand[:, 2])  # P-VAE random
+
+    med = median_trials(tab)
+    assert set(med) == {
+        f"{m}_{k}" for m in ("MSE", "SSIM", "PSNR") for k in ("random", "uniform")
+    }
+    # odd trial count: exactly one median trial per finder
+    for idx in med.values():
+        assert len(idx) == 1
+
+    out = tmp_path / "figs"
+    make_box_plots(rand_paths, str(out))  # auto-pairs the _uniform siblings
+    for name in ("MSE", "SSIM", "PSNR"):
+        assert (out / f"{name}_boxplot.png").exists()
+
+
+def test_boxplot_three_condition_fallback(tmp_path):
+    from ct_pvae_tpu.eval.boxplot import make_box_plots
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for t in range(2):
+        p = tmp_path / f"solo{t}"
+        p.mkdir()
+        np.save(p / "final_ave_merit.npy", rng.uniform(0, 1, (3, 3)))
+        paths.append(str(p))
+    out = tmp_path / "figs3"
+    make_box_plots(paths, str(out))
+    assert (out / "MSE_boxplot.png").exists()
