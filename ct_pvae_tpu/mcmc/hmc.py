@@ -73,7 +73,6 @@ def hmc_sample(
     ``init_state``.
     """
     num_chains, dim = init_state.shape
-    lp_vmap = jax.vmap(log_prob_fn)
 
     def one_chain_step(x, p_key, step_size):
         k1, k2 = jax.random.split(p_key)
@@ -91,7 +90,10 @@ def hmc_sample(
         x_out = jnp.where(accept, x_new, x)
         return x_out, jnp.minimum(jnp.exp(log_accept), 1.0)
 
-    chain_step = jax.vmap(one_chain_step, in_axes=(0, 0, None))
+    # step size is a (C,) vector: per-chain adaptation is the general case;
+    # cross_chain_adapt collapses the adaptation signal to the global mean
+    # (a psum over a sharded 'chains' axis), keeping all entries identical
+    chain_step = jax.vmap(one_chain_step, in_axes=(0, 0, 0))
 
     total = cfg.num_burnin + cfg.num_results
 
@@ -102,24 +104,25 @@ def hmc_sample(
         x, accept_prob = chain_step(x, keys, step_size)
         # SimpleStepSizeAdaptation: nudge log step toward target accept during
         # the first num_adaptation iterations.
-        mean_accept = jnp.mean(accept_prob) if cfg.cross_chain_adapt else accept_prob.mean()
+        signal = jnp.mean(accept_prob) if cfg.cross_chain_adapt else accept_prob
         adapting = it < cfg.num_adaptation
         log_step = jnp.log(step_size) + jnp.where(
             adapting,
-            cfg.adaptation_rate * (mean_accept - cfg.target_accept),
+            cfg.adaptation_rate * (signal - cfg.target_accept),
             0.0,
         )
         step_size = jnp.exp(log_step)
         return (x, step_size, key), (x, accept_prob)
 
-    init = (init_state, jnp.float32(cfg.step_size), key)
+    init = (init_state, jnp.full((num_chains,), cfg.step_size, jnp.float32), key)
     (xf, final_step, _), (xs, accepts) = jax.lax.scan(
         scan_body, init, jnp.arange(total)
     )
     samples = xs[cfg.num_burnin :]
     diagnostics = {
         "accept_rate": jnp.mean(accepts[cfg.num_burnin :]),
-        "final_step_size": final_step,
+        "final_step_size": jnp.mean(final_step),
+        "final_step_size_per_chain": final_step,
         "final_state": xf,
     }
     return samples, diagnostics

@@ -17,6 +17,11 @@ with O(max_depth) memory:
     log-sum-exp weights; divergences (energy error > 1000) terminate
   * the outer loop doubles the trajectory in a random direction and applies
     biased progressive sampling between the old tree and the new subtree
+  * warmup adapts BOTH the step size (dual averaging) and a diagonal mass
+    matrix: posterior variance is Welford-estimated over the middle 80% of
+    burnin pooled across chains (a cross-chain psum when chains are sharded),
+    installed at 0.9*burnin, after which dual averaging restarts under the
+    new metric
 """
 
 from __future__ import annotations
@@ -42,6 +47,13 @@ class NUTSConfig(NamedTuple):
     t0: float = 10.0
     gamma: float = 0.05
     kappa: float = 0.75
+    # diagonal mass-matrix (Welford) adaptation: posterior variance is
+    # estimated over warmup iterations [0.1, 0.9)*num_burnin pooled across
+    # chains, applied at 0.9*num_burnin, and dual averaging restarts to
+    # re-tune the step size under the new metric (the Stan windowing scheme,
+    # collapsed to one window).  Needs num_burnin >= 50 to engage.
+    adapt_mass: bool = True
+    mass_reg: float = 1e-3
 
 
 def _popcount(n: Array) -> Array:
@@ -57,9 +69,10 @@ def _count_trailing_ones(n: Array) -> Array:
     return _popcount(n & ~(n + 1))
 
 
-def _uturn(z_left, r_left, z_right, r_right) -> Array:
+def _uturn(z_left, v_left, z_right, v_right) -> Array:
+    """U-turn test on velocities v = M^{-1} r (reduces to momenta for M=I)."""
     dz = z_right - z_left
-    return (jnp.dot(dz, r_left) < 0) | (jnp.dot(dz, r_right) < 0)
+    return (jnp.dot(dz, v_left) < 0) | (jnp.dot(dz, v_right) < 0)
 
 
 class _Tree(NamedTuple):
@@ -74,10 +87,10 @@ class _Tree(NamedTuple):
     num_leaves: Array
 
 
-def _leapfrog(grad_fn, z, r, eps):
+def _leapfrog(grad_fn, z, r, eps, inv_mass):
     g = grad_fn(z)
     r = r + 0.5 * eps * g
-    z = z + eps * r
+    z = z + eps * inv_mass * r
     g = grad_fn(z)
     r = r + 0.5 * eps * g
     return z, r
@@ -91,6 +104,7 @@ def _build_subtree(
     depth: Array,           # dynamic: current tree depth (subtree has 2^depth leaves)
     direction: Array,       # +1 / -1
     eps: Array,
+    inv_mass: Array,        # (D,) diagonal M^{-1} (posterior variance estimate)
     energy0: Array,
     key: jax.Array,
     max_depth: int,
@@ -106,7 +120,7 @@ def _build_subtree(
     r_ckpts = jnp.zeros((max_depth + 1, dim), z0.dtype)
 
     def energy(z, r):
-        return -log_prob_fn(z) + 0.5 * jnp.sum(r * r)
+        return -log_prob_fn(z) + 0.5 * jnp.sum(r * r * inv_mass)
 
     class Carry(NamedTuple):
         leaf: Array
@@ -126,7 +140,7 @@ def _build_subtree(
         return (c.leaf < num_leaves) & ~c.turning & ~c.diverging
 
     def body(c: Carry):
-        z, r = _leapfrog(grad_fn, c.z, c.r, eps_d)
+        z, r = _leapfrog(grad_fn, c.z, c.r, eps_d, inv_mass)
         e = energy(z, r)
         delta = e - energy0
         diverging = delta > max_energy_error
@@ -164,8 +178,9 @@ def _build_subtree(
             active = j < t
             zl = z_ckpts[jnp.maximum(slot, 0)]
             rl = r_ckpts[jnp.maximum(slot, 0)]
-            # orient: left = earlier state along trajectory
-            turn = _uturn(zl, rl * direction.astype(z0.dtype), z, r * direction.astype(z0.dtype))
+            # orient: left = earlier state along trajectory; velocities M^{-1}r
+            d = direction.astype(z0.dtype)
+            turn = _uturn(zl, inv_mass * rl * d, z, inv_mass * r * d)
             return turning | (active & turn)
 
         turning = jax.lax.fori_loop(0, max_depth + 1, check_slot, c.turning)
@@ -214,11 +229,12 @@ def _build_subtree(
     )
 
 
-def _nuts_one_step(log_prob_fn, grad_fn, z, key, eps, cfg: NUTSConfig):
+def _nuts_one_step(log_prob_fn, grad_fn, z, key, eps, inv_mass, cfg: NUTSConfig):
     dim = z.shape[0]
     k_mom, k_loop = jax.random.split(key)
-    r0 = jax.random.normal(k_mom, (dim,))
-    energy0 = -log_prob_fn(z) + 0.5 * jnp.sum(r0 * r0)
+    # r ~ N(0, M) with M = diag(1/inv_mass)
+    r0 = jax.random.normal(k_mom, (dim,)) * jax.lax.rsqrt(inv_mass)
+    energy0 = -log_prob_fn(z) + 0.5 * jnp.sum(r0 * r0 * inv_mass)
 
     class Carry(NamedTuple):
         depth: Array
@@ -244,7 +260,7 @@ def _nuts_one_step(log_prob_fn, grad_fn, z, key, eps, cfg: NUTSConfig):
         r0_edge = jnp.where(direction > 0, c.r_right, c.r_left)
         tree = _build_subtree(
             log_prob_fn, grad_fn, z0, r0_edge, c.depth, direction, eps,
-            energy0, kt, cfg.max_depth, cfg.max_energy_error,
+            inv_mass, energy0, kt, cfg.max_depth, cfg.max_energy_error,
         )
         # merge edges
         z_left = jnp.where(direction > 0, c.z_left, tree.z_edge)
@@ -258,7 +274,9 @@ def _nuts_one_step(log_prob_fn, grad_fn, z, key, eps, cfg: NUTSConfig):
         z_prop = jnp.where(ok & accept_new, tree.z_proposal, c.z_prop)
         log_w = jnp.logaddexp(c.log_w, jnp.where(ok, tree.log_weight, -jnp.inf))
 
-        turning_across = _uturn(z_left, r_left, z_right, r_right)
+        turning_across = _uturn(
+            z_left, inv_mass * r_left, z_right, inv_mass * r_right
+        )
         return Carry(
             depth=c.depth + 1,
             z_left=z_left,
@@ -297,52 +315,107 @@ def nuts_sample(
     key: jax.Array,
     cfg: NUTSConfig = NUTSConfig(),
 ) -> Tuple[Array, dict]:
-    """Run NUTS with dual-averaging warmup; returns (samples (T, C, D), diag)."""
+    """Run NUTS with dual-averaging + mass-matrix warmup; returns
+    (samples (T, C, D), diagnostics)."""
     grad_fn = jax.grad(log_prob_fn)
     num_chains, dim = init_state.shape
     step_fn = jax.vmap(
-        lambda z, k, eps: _nuts_one_step(log_prob_fn, grad_fn, z, k, eps, cfg),
-        in_axes=(0, 0, None),
+        lambda z, k, eps, im: _nuts_one_step(log_prob_fn, grad_fn, z, k, eps, im, cfg),
+        in_axes=(0, 0, None, None),
     )
 
     total = cfg.num_burnin + cfg.num_results
-    mu = jnp.log(10.0 * cfg.step_size)
+    # mass-adaptation window (static python ints; disabled for short warmups)
+    do_mass = bool(cfg.adapt_mass) and cfg.num_burnin >= 50
+    w0 = int(0.1 * cfg.num_burnin)
+    w1 = int(0.9 * cfg.num_burnin)
 
-    def scan_body(carry, it):
-        z, key, log_eps, log_eps_avg, h_avg = carry
-        key, sub = jax.random.split(key)
+    class Carry(NamedTuple):
+        z: Array
+        key: jax.Array
+        log_eps: Array
+        log_eps_avg: Array
+        h_avg: Array
+        da_m: Array          # dual-averaging iteration counter (restartable)
+        mu: Array            # dual-averaging anchor log(10*eps)
+        inv_mass: Array      # (D,) diagonal M^{-1}
+        w_count: Array       # Welford: observations, running mean, running M2
+        w_mean: Array
+        w_m2: Array
+
+    def scan_body(c: Carry, it):
+        key, sub = jax.random.split(c.key)
         keys = jax.random.split(sub, num_chains)
-        eps = jnp.exp(log_eps)
-        z, accept = step_fn(z, keys, eps)
+        eps = jnp.exp(c.log_eps)
+        z, accept = step_fn(c.z, keys, eps, c.inv_mass)
         mean_accept = jnp.mean(accept)
 
-        # dual averaging during burnin
-        m = it.astype(jnp.float32) + 1.0
-        h_avg_new = (1.0 - 1.0 / (m + cfg.t0)) * h_avg + (
+        # dual averaging during burnin (restartable counter da_m)
+        m = c.da_m.astype(jnp.float32) + 1.0
+        h_avg_new = (1.0 - 1.0 / (m + cfg.t0)) * c.h_avg + (
             cfg.target_accept - mean_accept
         ) / (m + cfg.t0)
-        log_eps_da = mu - jnp.sqrt(m) / cfg.gamma * h_avg_new
+        log_eps_da = c.mu - jnp.sqrt(m) / cfg.gamma * h_avg_new
         w = m ** (-cfg.kappa)
-        log_eps_avg_new = w * log_eps_da + (1.0 - w) * log_eps_avg
+        log_eps_avg_new = w * log_eps_da + (1.0 - w) * c.log_eps_avg
 
         adapting = (it < cfg.num_burnin) & cfg.adapt_step_size
-        log_eps_next = jnp.where(adapting, log_eps_da, log_eps_avg)
-        h_avg = jnp.where(adapting, h_avg_new, h_avg)
-        log_eps_avg = jnp.where(adapting, log_eps_avg_new, log_eps_avg)
-        return (z, key, log_eps_next, log_eps_avg, h_avg), (z, mean_accept)
+        log_eps_next = jnp.where(adapting, log_eps_da, c.log_eps_avg)
+        h_avg = jnp.where(adapting, h_avg_new, c.h_avg)
+        log_eps_avg = jnp.where(adapting, log_eps_avg_new, c.log_eps_avg)
+        da_m = c.da_m + adapting.astype(jnp.int32)
 
-    init = (
-        init_state,
-        key,
-        jnp.log(jnp.float32(cfg.step_size)),
-        jnp.log(jnp.float32(cfg.step_size)),
-        jnp.float32(0.0),
+        inv_mass, mu = c.inv_mass, c.mu
+        w_count, w_mean, w_m2 = c.w_count, c.w_mean, c.w_m2
+        if do_mass:
+            # chunked Welford over the C chain positions of this iteration
+            in_window = (it >= w0) & (it < w1)
+            bmean = jnp.mean(z, axis=0)
+            bm2 = jnp.sum(jnp.square(z - bmean), axis=0)
+            delta = bmean - w_mean
+            tot = w_count + num_chains
+            new_mean = w_mean + delta * (num_chains / tot)
+            new_m2 = w_m2 + bm2 + jnp.square(delta) * (w_count * num_chains / tot)
+            w_count = jnp.where(in_window, tot, w_count)
+            w_mean = jnp.where(in_window, new_mean, w_mean)
+            w_m2 = jnp.where(in_window, new_m2, w_m2)
+
+            # at the window close: install the regularized variance estimate
+            # (Stan's shrink-to-unit-scaled prior) and restart dual averaging
+            switch = it == w1
+            n = jnp.maximum(w_count, 2.0)
+            var = w_m2 / (n - 1.0)
+            var_reg = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * cfg.mass_reg
+            inv_mass = jnp.where(switch, jnp.maximum(var_reg, 1e-10), inv_mass)
+            da_m = jnp.where(switch, 0, da_m)
+            h_avg = jnp.where(switch, 0.0, h_avg)
+            mu = jnp.where(switch, log_eps_next + jnp.log(10.0), mu)
+            log_eps_avg = jnp.where(switch, log_eps_next, log_eps_avg)
+
+        new_c = Carry(
+            z=z, key=key, log_eps=log_eps_next, log_eps_avg=log_eps_avg,
+            h_avg=h_avg, da_m=da_m, mu=mu, inv_mass=inv_mass,
+            w_count=w_count, w_mean=w_mean, w_m2=w_m2,
+        )
+        return new_c, (z, mean_accept)
+
+    init = Carry(
+        z=init_state,
+        key=key,
+        log_eps=jnp.log(jnp.float32(cfg.step_size)),
+        log_eps_avg=jnp.log(jnp.float32(cfg.step_size)),
+        h_avg=jnp.float32(0.0),
+        da_m=jnp.int32(0),
+        mu=jnp.log(10.0 * jnp.float32(cfg.step_size)),
+        inv_mass=jnp.ones((dim,), jnp.float32),
+        w_count=jnp.float32(0.0),
+        w_mean=jnp.zeros((dim,), jnp.float32),
+        w_m2=jnp.zeros((dim,), jnp.float32),
     )
-    (zf, _, log_eps, _, _), (zs, accepts) = jax.lax.scan(
-        scan_body, init, jnp.arange(total)
-    )
+    final, (zs, accepts) = jax.lax.scan(scan_body, init, jnp.arange(total))
     return zs[cfg.num_burnin :], {
         "accept_rate": jnp.mean(accepts[cfg.num_burnin :]),
-        "final_step_size": jnp.exp(log_eps),
-        "final_state": zf,
+        "final_step_size": jnp.exp(final.log_eps),
+        "inv_mass": final.inv_mass,
+        "final_state": final.z,
     }

