@@ -7,8 +7,10 @@ trial assignments, not tensors.  Here trials are plain config sweeps:
 
   * search space: per-parameter (low, high) bounds or explicit choices,
     mirroring the reference's ``prms`` block (config_cpu.yaml:18-31)
-  * samplers: grid, random, and a lightweight surrogate-guided loop
-    (quadratic-regression pick-the-minimum — the role hpo-uq's RBF plays)
+  * samplers: grid, random, and a true RBF-surrogate loop (cubic RBF with a
+    linear polynomial tail + stochastic-response-surface candidate
+    acquisition — the algorithm family hpo-uq's ``hpo: surrogate: rbf``
+    configures, config_cpu.yaml:32-35)
   * objective: ``vi.train.run`` -> loss_final_mean, exactly the value the
     reference's trainer returns to hpo-uq (main_ct_vae.py:733-735)
   * distribution: one process per trial via multiprocessing, or rank-sliced
@@ -65,6 +67,115 @@ class SearchSpace:
         return [dict(combo) for combo in itertools.product(*axes)]
 
 
+# ---------------------------------------------------------------------------
+# RBF surrogate (the hpo-uq 'surrogate: rbf' capability, done for real)
+# ---------------------------------------------------------------------------
+
+
+class RBFSurrogate:
+    """Cubic RBF interpolant with a linear polynomial tail.
+
+    s(x) = sum_i lam_i * ||x - x_i||^3 + c0 + c^T x, fit by solving the
+    standard saddle system [[Phi, P], [P^T, 0]] — the interpolant used by
+    RBF surrogate optimizers (Gutmann 2001 / Regis & Shoemaker SRBF, the
+    method class behind hpo-uq's RBF mode).  Inputs are expected in the unit
+    cube; targets are rank-robustified by the caller if desired.
+    """
+
+    def __init__(self, x: np.ndarray, y: np.ndarray):
+        x = np.atleast_2d(np.asarray(x, np.float64))
+        y = np.asarray(y, np.float64)
+        n, d = x.shape
+        r = np.linalg.norm(x[:, None] - x[None], axis=-1)
+        phi = r ** 3
+        p = np.hstack([np.ones((n, 1)), x])
+        a = np.block([[phi, p], [p.T, np.zeros((d + 1, d + 1))]])
+        a[np.diag_indices(n)] += 1e-10  # jitter for duplicate points
+        rhs = np.concatenate([y, np.zeros(d + 1)])
+        sol = np.linalg.lstsq(a, rhs, rcond=None)[0]
+        self._x = x
+        self._lam = sol[:n]
+        self._c = sol[n:]
+
+    def predict(self, z: np.ndarray) -> np.ndarray:
+        z = np.atleast_2d(np.asarray(z, np.float64))
+        r = np.linalg.norm(z[:, None] - self._x[None], axis=-1)
+        return (r ** 3) @ self._lam + np.hstack([np.ones((len(z), 1)), z]) @ self._c
+
+
+# SRBF weight cycle: low weight on the surrogate value = explore, high =
+# exploit (Regis & Shoemaker 2007)
+_SRBF_WEIGHTS = (0.3, 0.5, 0.8, 0.95)
+
+
+def _srbf_propose(
+    surrogate: RBFSurrogate,
+    evaluated: np.ndarray,       # (n, d) unit-cube points already run
+    best: np.ndarray,            # (d,) incumbent
+    rng: np.random.Generator,
+    n_batch: int,
+    cycle_start: int,
+) -> np.ndarray:
+    """Pick ``n_batch`` unit-cube candidates by weighted (value, distance) rank."""
+    d = evaluated.shape[1]
+    n_cand = max(200, 50 * d)
+    # half global uniform, half Gaussian perturbations of the incumbent
+    cand = np.vstack([
+        rng.uniform(0, 1, size=(n_cand // 2, d)),
+        np.clip(best + rng.normal(0, 0.1, size=(n_cand - n_cand // 2, d)), 0, 1),
+    ])
+    pred = surrogate.predict(cand)
+    dmin = np.linalg.norm(cand[:, None] - evaluated[None], axis=-1).min(axis=1)
+
+    def norm01(v):
+        lo, hi = v.min(), v.max()
+        return np.zeros_like(v) if hi <= lo else (v - lo) / (hi - lo)
+
+    vn = norm01(pred)          # low = promising
+    dn = norm01(-dmin)         # low = far from evaluated points
+    picks = []
+    taken = np.zeros(len(cand), bool)
+    for b in range(n_batch):
+        w = _SRBF_WEIGHTS[(cycle_start + b) % len(_SRBF_WEIGHTS)]
+        score = w * vn + (1.0 - w) * dn
+        score = np.where(taken, np.inf, score)
+        i = int(np.argmin(score))
+        taken[i] = True
+        picks.append(cand[i])
+    return np.asarray(picks)
+
+
+class _SpaceCodec:
+    """Map override dicts <-> unit-cube vectors over the numeric (low, high)
+    dimensions; choice dimensions ride along from the incumbent."""
+
+    def __init__(self, space: SearchSpace):
+        self.space = space
+        self.numeric = [
+            (name, spec)
+            for name, spec in space.params.items()
+            if isinstance(spec, tuple) and len(spec) == 2
+            and all(isinstance(v, (int, float)) for v in spec)
+        ]
+
+    @property
+    def dim(self) -> int:
+        return len(self.numeric)
+
+    def encode(self, overrides: Dict[str, Any]) -> np.ndarray:
+        out = np.empty(self.dim)
+        for j, (name, (lo, hi)) in enumerate(self.numeric):
+            out[j] = 0.5 if hi <= lo else (float(overrides[name]) - lo) / (hi - lo)
+        return out
+
+    def decode(self, u: np.ndarray, template: Dict[str, Any]) -> Dict[str, Any]:
+        out = dict(template)  # choice params inherited from the incumbent
+        for j, (name, (lo, hi)) in enumerate(self.numeric):
+            v = lo + float(np.clip(u[j], 0, 1)) * (hi - lo)
+            out[name] = int(round(v)) if name in self.space.integer else float(v)
+        return out
+
+
 def _run_trial(args) -> Tuple[int, Dict[str, Any], float]:
     idx, base_dict, overrides, save_root = args
     from .vi.train import run
@@ -88,37 +199,27 @@ def sweep(
     seed: int = 0,
     save_root: Optional[str] = None,
     processes: int = 1,
+    objective=None,             # optional {overrides} -> loss (tests/studies)
 ) -> List[Tuple[int, Dict[str, Any], float]]:
     """Run trials; returns [(idx, overrides, loss_final_mean)] sorted by loss.
 
     Rank slicing: if RANK/WORLD_SIZE are set, this process runs trials
     ``idx % WORLD_SIZE == RANK`` (launch one process per host/chip-group for
-    the trial-farm pattern).
+    the trial-farm pattern).  Surrogate mode is single-controller (the RBF
+    refit is sequential); its per-round proposal batches still fan out over
+    ``processes``.
     """
     rng = np.random.default_rng(seed)
-    if mode == "grid":
-        candidates = space.grid()[:num_trials]
+    if mode == "surrogate":
+        results = _surrogate_loop(
+            base, space, num_trials, rng, save_root, processes, objective
+        )
     else:
-        candidates = [space.sample(rng) for _ in range(num_trials)]
-
-    if mode == "surrogate" and num_trials >= 6:
-        # explore half the budget randomly, then refine around the best with
-        # jittered local samples (the cheap stand-in for hpo-uq's RBF loop)
-        explore = candidates[: num_trials // 2]
-        results = _run_all(base, explore, save_root, processes, offset=0)
-        best = min(results, key=lambda r: r[2])[1]
-        refine = []
-        for _ in range(num_trials - len(explore)):
-            cand = dict(best)
-            for name, spec in space.params.items():
-                if isinstance(spec, tuple) and len(spec) == 2:
-                    width = (spec[1] - spec[0]) * 0.15
-                    v = np.clip(best[name] + rng.normal() * width, spec[0], spec[1])
-                    cand[name] = int(round(v)) if name in space.integer else float(v)
-            refine.append(cand)
-        results += _run_all(base, refine, save_root, processes, offset=len(explore))
-    else:
-        results = _run_all(base, candidates, save_root, processes, offset=0)
+        if mode == "grid":
+            candidates = space.grid()[:num_trials]
+        else:
+            candidates = [space.sample(rng) for _ in range(num_trials)]
+        results = _run_all(base, candidates, save_root, processes, 0, objective)
 
     results.sort(key=lambda r: r[2])
     if save_root:
@@ -130,7 +231,54 @@ def sweep(
     return results
 
 
-def _run_all(base, candidates, save_root, processes, offset) -> List:
+def _surrogate_loop(
+    base, space, num_trials, rng, save_root, processes, objective
+) -> List[Tuple[int, Dict[str, Any], float]]:
+    """RBF surrogate optimization: space-filling init, then fit-propose-run
+    rounds of ``processes`` candidates via SRBF weighted-rank acquisition."""
+    codec = _SpaceCodec(space)
+    d = codec.dim
+    if d == 0:  # pure-choice space: surrogate degenerates to random
+        cands = [space.sample(rng) for _ in range(num_trials)]
+        return _run_all(base, cands, save_root, processes, 0, objective)
+
+    n_init = min(num_trials, max(d + 2, num_trials // 3))
+    # stratified (latin-hypercube) init in the unit cube
+    u = (rng.permuted(np.tile(np.arange(n_init), (d, 1)), axis=1).T + rng.uniform(0, 1, (n_init, d))) / n_init
+    template = space.sample(rng)
+    init = [codec.decode(u[i], template) for i in range(n_init)]
+    results = _run_all(base, init, save_root, processes, 0, objective)
+
+    evaluated = [codec.encode(o) for _, o, _ in results]
+    losses = [l for _, _, l in results]
+    cycle = 0
+    while len(results) < num_trials:
+        finite = np.isfinite(losses)
+        y = np.asarray(losses, np.float64)
+        # inf-safe: failed trials pinned above the worst finite value
+        worst = y[finite].max() if finite.any() else 0.0
+        y = np.where(finite, y, worst + 1.0)
+        surrogate = RBFSurrogate(np.asarray(evaluated), y)
+        best_idx = int(np.argmin(y))
+        n_batch = min(max(1, processes), num_trials - len(results))
+        picks = _srbf_propose(
+            surrogate, np.asarray(evaluated), evaluated[best_idx], rng, n_batch, cycle
+        )
+        cycle += n_batch
+        incumbent = results[best_idx][1]
+        cands = [codec.decode(p, incumbent) for p in picks]
+        batch = _run_all(base, cands, save_root, processes, len(results), objective)
+        results += batch
+        evaluated += [codec.encode(o) for _, o, _ in batch]
+        losses += [l for _, _, l in batch]
+    return results
+
+
+def _run_all(base, candidates, save_root, processes, offset, objective=None) -> List:
+    if objective is not None:
+        return [
+            (offset + i, ov, float(objective(ov))) for i, ov in enumerate(candidates)
+        ]
     rank = int(os.environ.get("RANK", "0"))
     world = int(os.environ.get("WORLD_SIZE", "1"))
     jobs = [
