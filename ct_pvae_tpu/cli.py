@@ -80,6 +80,7 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--seed", type=int, dest="seed", default=0)
     a("--mesh_data", type=int, dest="mesh_data", default=1)
     a("--mesh_angle", type=int, dest="mesh_angle", default=1)
+    a("--stream_batches", action="store_true", dest="stream_batches")
     a("--multihost", action="store_true", dest="multihost")
     a("--norm_type", dest="norm_type", default=None, choices=["instance"])
     a("--roll", action="store_true", dest="roll_augment")
@@ -222,6 +223,26 @@ def cmd_visualize(argv) -> int:
     from .eval.visualize import visualize_run
 
     visualize_run(cfg)
+    return 0
+
+
+def cmd_visualize_dataset(argv) -> int:
+    """Reference bin/visualize_dataset.py: full vs partial-random vs
+    partial-uniform sinogram + padded ground truth for one example."""
+    p = argparse.ArgumentParser(prog="visualize-dataset")
+    p.add_argument("--en", type=int, dest="example_num", default=0)
+    p.add_argument("--input_path", default="dataset_foam")
+    p.add_argument("--save_path_random", default=None)
+    p.add_argument("--save_path_uniform", default=None)
+    p.add_argument("--nsa", type=int, dest="num_sparse_angles", default=20,
+                   help="undoes the 1/nsa dose normalization on partials")
+    p.add_argument("--out", dest="out_dir", default=None)
+    args = p.parse_args(argv)
+    from .eval.dataset_viz import visualize_dataset
+
+    written = visualize_dataset(**vars(args))
+    for name, path in written.items():
+        print(name, path)
     return 0
 
 
@@ -498,6 +519,7 @@ COMMANDS = {
     "merit": cmd_merit,
     "mcmc": cmd_mcmc,
     "visualize": cmd_visualize,
+    "visualize-dataset": cmd_visualize_dataset,
     "boxplot": cmd_boxplot,
     "sweep": cmd_sweep,
     "compare-projectors": cmd_compare_projectors,

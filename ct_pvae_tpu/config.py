@@ -88,6 +88,10 @@ class Config:
     # implied — sizes multiply to the device count used.
     mesh_data: int = 1                        # data-parallel axis size
     mesh_angle: int = 1                       # angle-sharding axis size
+    # streaming data path: per-step host-local batch slices assembled into a
+    # batch-sharded global array (for datasets too large to replicate on
+    # device); default keeps the zero-transfer device-resident gather
+    stream_batches: bool = False
     # Multi-host: jax.distributed.initialize() before building the mesh
     # (coordinator/process env vars or Cloud-TPU metadata; parallel/
     # distributed.py).  Host 0 owns checkpoints and metrics artifacts.

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.distributed import is_primary
+
 
 def make_masks(
     num_examples: int,
@@ -116,7 +118,9 @@ def create_all_masks(
     else:
         raise ValueError(f"unknown noise_model {noise_model!r}")
 
-    if save_path is not None:
+    if save_path is not None and is_primary():
+        # multi-host: host 0 owns the artifact writes; other hosts computed
+        # identical arrays from the same seed
         os.makedirs(save_path, exist_ok=True)
         np.save(os.path.join(save_path, "all_masks.npy"), all_masks)
         np.save(os.path.join(save_path, "all_proj_samples.npy"), all_proj_samples)

@@ -25,6 +25,7 @@ import numpy as np
 from ..ops.fbp import fbp
 from ..ops.sirt import sirt
 from ..ops.tv import tv_reconstruct
+from ..parallel.distributed import is_primary
 
 _EPS = float(np.finfo(np.float32).eps)
 
@@ -140,7 +141,8 @@ def classical_recon_stack(
     stack = crop_center(np.moveaxis(stack, -1, 1), x_size, y_size)  # (N, C, x, y)
     stack = np.moveaxis(stack, 1, -1).astype(np.float32)  # (N, x, y, C)
 
-    if save_path is not None:
+    if save_path is not None and is_primary():
+        # multi-host: host 0 owns the artifact writes (identical elsewhere)
         os.makedirs(save_path, exist_ok=True)
         np.save(os.path.join(save_path, "all_input_encode.npy"), stack)
     return stack

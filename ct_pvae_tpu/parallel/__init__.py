@@ -1,6 +1,12 @@
 from .mesh import batch_sharding, make_mesh, replicated_sharding
 from .chains import make_chains_mesh, shard_chains
-from .distributed import host_local_batch_slice, initialize, is_primary
+from .distributed import (
+    host_local_batch_slice,
+    initialize,
+    is_primary,
+    make_global_batch,
+    put_replicated,
+)
 
 __all__ = [
     "make_mesh",
@@ -9,4 +15,6 @@ __all__ = [
     "initialize",
     "is_primary",
     "host_local_batch_slice",
+    "make_global_batch",
+    "put_replicated",
 ]

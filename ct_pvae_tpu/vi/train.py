@@ -31,7 +31,12 @@ from ..data import io as data_io
 from ..data.masks import create_all_masks
 from ..data.recon_init import classical_recon_stack
 from ..models.pvae import build_models
-from ..parallel.distributed import is_primary
+from ..parallel.distributed import (
+    host_local_batch_slice,
+    is_primary,
+    make_global_batch,
+    put_replicated,
+)
 from ..parallel.mesh import make_mesh
 from ..utils.batching import IndexStream
 from ..utils.metrics import MetricsLogger
@@ -101,7 +106,9 @@ class Trainer:
         if cfg.save_path:
             os.makedirs(cfg.save_path, exist_ok=True)
 
-        # masks + noisy measurements (ref L2)
+        # masks + noisy measurements (ref L2).  Multi-host: every host reads
+        # caches, but only host 0 writes them (the np.save calls inside are
+        # is_primary()-gated — concurrent identical writes would race).
         self.all_masks, self.all_proj_samples = create_all_masks(
             sinograms,
             self.num_angles,
@@ -183,22 +190,46 @@ class Trainer:
             "mask": jnp.asarray(self.all_masks),
             "input_encode": jnp.asarray(self.all_input_encode),
         }
-        if self.mesh is not None:
-            repl = NamedSharding(self.mesh, P())
-            self.data = jax.device_put(self.data, repl)
-            self.state = jax.device_put(self.state, repl)
+        # multi-process safe replication (jax.make_array_from_process_local_data
+        # under the hood when process_count > 1; plain device_put otherwise)
+        self.data = put_replicated(self.data, self.mesh)
+        self.state = put_replicated(self.state, self.mesh)
 
         self._train_step_fn = self._build_step(training=True)
         self._eval_step_fn = self._build_step(training=False)
         self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_fn)
-        self.metrics = MetricsLogger(cfg.save_path)
+        # host 0 owns metrics files; other hosts keep an in-memory logger only
+        self.metrics = MetricsLogger(cfg.save_path if is_primary() else None)
 
         if cfg.restore and cfg.save_path:
             self.restore(cfg.restore_num, cfg.use_latest_ckpt)
 
     # ------------------------------------------------------------------
-    def _build_step(self, training: bool):
+    def _to_host(self, x) -> np.ndarray:
+        """Host copy of a step output.
+
+        Multi-process, batch-sharded outputs span devices this host cannot
+        address, so ``np.asarray`` would raise; replicate on the mesh first
+        (an XLA all_gather over DCN/ICI), then fetch.  Single-process or
+        already-replicated arrays fetch directly.
+        """
+        if (
+            jax.process_count() > 1
+            and self.mesh is not None
+            and not getattr(x, "is_fully_replicated", True)
+        ):
+            x = jax.jit(
+                lambda a: a, out_shardings=NamedSharding(self.mesh, P())
+            )(x)
+        return np.asarray(x)
+
+    # ------------------------------------------------------------------
+    def _build_step(self, training: bool, skip_gather: bool = False):
+        """``skip_gather``: the streaming data path passes the already-sliced
+        global batch as ``data`` (batch_idx unused) — a traced-index take on a
+        batch-sharded array would force XLA to treat it as a cross-shard
+        gather."""
         cfg = self.cfg
         theta = jnp.asarray(self.theta)
         n_det = self.num_proj_pix
@@ -283,7 +314,10 @@ class Trainer:
             }
 
         def step(state: TrainState, data: Dict, batch_idx, angle_idx, key):
-            batch = {k: jnp.take(v, batch_idx, axis=0) for k, v in data.items()}
+            if skip_gather:
+                batch = data
+            else:
+                batch = {k: jnp.take(v, batch_idx, axis=0) for k, v in data.items()}
             if training and cfg.roll_augment:
                 from .augment import roll_batch
 
@@ -372,6 +406,26 @@ class Trainer:
         flush_every = max(1, cfg.metrics_every)
         metric_buf = []
         stop = False
+
+        # streaming data path (multi-host datasets too large to replicate):
+        # each host slices its part of the batch from host memory and the
+        # global batch is assembled batch-sharded on the 'data' axis
+        stream = cfg.stream_batches and self.mesh is not None
+        if stream:
+            from jax.sharding import PartitionSpec
+
+            stream_step = jax.jit(
+                self._build_step(training=True, skip_gather=True),
+                donate_argnums=(0,),
+            )
+            host_np = {
+                "proj_sample": np.asarray(self.all_proj_samples, np.float32),
+                "mask": np.asarray(self.all_masks, np.float32),
+                "input_encode": np.asarray(self.all_input_encode, np.float32),
+            }
+            stream_specs = {k: PartitionSpec("data") for k in host_np}
+            dummy_idx = jnp.zeros((0,), jnp.int32)
+
         for it in range(cfg.num_iter):
             if cfg.profile_steps and cfg.save_path:
                 # trace steps [2, 2+profile_steps) after warmup/compile
@@ -382,13 +436,21 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profile_started = False
             key, skey = jax.random.split(key)
-            self.state, step_metrics = self._train_step(
-                self.state,
-                self.data,
-                jnp.asarray(batch_stream.next()),
-                jnp.asarray(angle_stream.next()),
-                skey,
-            )
+            batch_idx = batch_stream.next()
+            angle_idx = jnp.asarray(angle_stream.next())
+            if stream:
+                lo, n_loc = host_local_batch_slice(cfg.batch_size)
+                local = {
+                    k: v[batch_idx[lo : lo + n_loc]] for k, v in host_np.items()
+                }
+                gbatch = make_global_batch(self.mesh, local, stream_specs)
+                self.state, step_metrics = stream_step(
+                    self.state, gbatch, dummy_idx, angle_idx, skey
+                )
+            else:
+                self.state, step_metrics = self._train_step(
+                    self.state, self.data, jnp.asarray(batch_idx), angle_idx, skey
+                )
             metric_buf.append(step_metrics)
             if len(metric_buf) >= flush_every or it == cfg.num_iter - 1:
                 block = np.asarray(jnp.stack(metric_buf))  # one device->host read
@@ -450,8 +512,8 @@ class Trainer:
             )
             losses.append(float(loss))
             # ref collects output_dist.sample() (a draw, not the mean, :446)
-            recons.append(np.asarray(aux.recon_sample)[..., None])
-            recon_means.append(np.asarray(aux.recon_mean)[..., None])
+            recons.append(self._to_host(aux.recon_sample)[..., None])
+            recon_means.append(self._to_host(aux.recon_mean)[..., None])
         loss_final = np.asarray(losses)
         reconstruction_final = np.concatenate(recons, axis=0)
         if cfg.save_path and is_primary():
@@ -501,7 +563,11 @@ class Trainer:
         else:
             path = os.path.join(ckpt_dir, f"ckpt-{restore_num}.msgpack")
         with open(path, "rb") as f:
-            self.state = serialization.from_bytes(self.state, f.read())
+            restored = serialization.from_bytes(self.state, f.read())
+        # from_bytes yields host numpy leaves; re-place them on the mesh so
+        # multi-process restore (every host reads the shared checkpoint)
+        # reconstructs proper global arrays
+        self.state = put_replicated(restored, self.mesh)
 
 
 def run(cfg: Config, sinograms=None, theta=None) -> float:

@@ -55,3 +55,35 @@ def test_compare_uses_first_image_data_range():
     b = np.ones((8, 8))
     m, s, p = compare(a, b)
     np.testing.assert_allclose(p, 10 * np.log10(4.0 / m))
+
+
+def test_visualize_dataset_panels(tmp_path):
+    """Standalone dataset visualizer writes the reference's 4-panel set
+    (bin/visualize_dataset.py:30-52) with partial panels de-normalized."""
+    from ct_pvae_tpu.data import io as data_io
+    from ct_pvae_tpu.eval.dataset_viz import visualize_dataset
+
+    rng = np.random.default_rng(0)
+    sinos = rng.uniform(0, 1, (3, 4, 8)).astype(np.float32)
+    theta = np.linspace(0, np.pi, 4, endpoint=False).astype(np.float32)
+    ds = str(tmp_path / "dataset_foo")
+    data_io.save_dataset(ds, sinos, theta, 6, 6)
+    data_io.save_ground_truth(
+        rng.uniform(0, 1, (3, 6, 6)).astype(np.float32), "foo", str(tmp_path)
+    )
+    run_r = tmp_path / "run_random"
+    run_u = tmp_path / "run_uniform"
+    for run in (run_r, run_u):
+        run.mkdir()
+        np.save(run / "all_proj_samples.npy", sinos / 2.0)
+
+    written = visualize_dataset(
+        ds, str(run_r), str(run_u), example_num=1, num_sparse_angles=2
+    )
+    assert sorted(written) == [
+        "full_sinogram", "ground_truth", "proj_random", "proj_uniform",
+    ]
+    import os
+
+    for path in written.values():
+        assert os.path.exists(path) and path.endswith("_ex_1.png")
