@@ -15,6 +15,7 @@ reference's flag semantics (dest names match get_args, main_ct_vae.py:30-116):
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from typing import Optional
 
@@ -72,6 +73,8 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--ulc", action="store_true", dest="use_latest_ckpt")
     a("--visualize", action="store_true", dest="visualize")
     a("--pixel_dist", action="store_true", dest="pixel_dist")
+    a("--num_repeats", type=int, dest="pixel_dist_repeats", default=10000)
+    a("--ns1", type=int, dest="pixel_dist_samples_1", default=100)
     a("--real", action="store_true", dest="real_data")
     a("--no_pad", action="store_true", dest="no_pad")
     a("--toy_masks", action="store_true", dest="toy_masks")
@@ -243,6 +246,21 @@ def cmd_visualize_dataset(argv) -> int:
     written = visualize_dataset(**vars(args))
     for name, path in written.items():
         print(name, path)
+    return 0
+
+
+def cmd_fidelity(argv) -> int:
+    """Foam-generator/classical-init fidelity study (SURVEY hard parts #3/#5):
+    packer porosity curve + full-sino FBP metric distributions."""
+    p = argparse.ArgumentParser(prog="fidelity")
+    p.add_argument("-n", type=int, dest="num", default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", dest="out_dir", default="fidelity_out")
+    args = p.parse_args(argv)
+    from .eval.fidelity import fidelity_report
+
+    res = fidelity_report(args.out_dir, num=args.num, seed=args.seed)
+    print(json.dumps(res, indent=1))
     return 0
 
 
@@ -520,6 +538,7 @@ COMMANDS = {
     "mcmc": cmd_mcmc,
     "visualize": cmd_visualize,
     "visualize-dataset": cmd_visualize_dataset,
+    "fidelity": cmd_fidelity,
     "boxplot": cmd_boxplot,
     "sweep": cmd_sweep,
     "compare-projectors": cmd_compare_projectors,

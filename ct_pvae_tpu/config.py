@@ -24,6 +24,10 @@ class Config:
     train: bool = False                       # --train
     visualize: bool = False                   # --visualize
     pixel_dist: bool = False                  # --pixel_dist
+    # posterior-histogram scale (ref main_ct_vae.py:648: 10000 repeats x 100
+    # draws per repeat)
+    pixel_dist_repeats: int = 10000           # --num_repeats
+    pixel_dist_samples_1: int = 100           # --ns1
     no_final_eval: bool = False               # --no_final_eval
     real_data: bool = False                   # --real
     restore: bool = False                     # --restore

@@ -30,34 +30,49 @@ def _pack_voids(
     gap: float,
     max_attempts: int = 3000,
 ):
-    """Greedy dart-throwing circle packing inside the unit-radius disk.
+    """Greedy circle packing with adaptive radius shrinking.
 
-    Radii are sampled uniformly in [size_lower, size_upper] (largest-first
-    ordering improves packing like xdesign's descending size_range) until the
-    void area reaches ``porosity`` times the material disk area.
+    Phase 1 is dart throwing with radii in descending order (big voids land
+    first, like xdesign's descending size_range).  Fixed-radius dart throwing
+    alone saturates near 0.65 void fraction while the reference recipe draws
+    targets from U(0, 1) (create_foam_images.py:39), so when a sweep stops
+    placing circles the proposal range shrinks toward ``size_lower`` —
+    mirroring xdesign's insertion loop, which keeps retrying ever-smaller
+    circles until the porosity target is met.  High targets (>~0.85) remain
+    geometrically unreachable with non-overlapping r>=size_lower circles;
+    both generators saturate there.
     """
     target_area = porosity * np.pi  # material disk has radius 1, area pi
     centers = np.zeros((0, 2), np.float64)
     radii = np.zeros((0,), np.float64)
     area = 0.0
-    # Propose radii in descending sweeps so big voids land first.
-    proposal_r = np.sort(rng.uniform(size_lower, size_upper, size=max_attempts))[::-1]
-    proposal_xy = rng.uniform(-1.0, 1.0, size=(max_attempts, 2))
-    for i in range(max_attempts):
+    hi = size_upper
+    for _sweep in range(8):
         if area >= target_area:
             break
-        r = proposal_r[i]
-        c = proposal_xy[i]
-        # fully inside the material disk
-        if np.hypot(c[0], c[1]) + r > 1.0:
-            continue
-        if radii.size:
-            d = np.hypot(centers[:, 0] - c[0], centers[:, 1] - c[1])
-            if np.any(d < radii + r + gap):
+        proposal_r = np.sort(rng.uniform(size_lower, hi, size=max_attempts))[::-1]
+        proposal_xy = rng.uniform(-1.0, 1.0, size=(max_attempts, 2))
+        placed = 0
+        for i in range(max_attempts):
+            if area >= target_area:
+                break
+            r = proposal_r[i]
+            c = proposal_xy[i]
+            # fully inside the material disk
+            if np.hypot(c[0], c[1]) + r > 1.0:
                 continue
-        centers = np.vstack([centers, c[None]])
-        radii = np.append(radii, r)
-        area += np.pi * r * r
+            if radii.size:
+                d = np.hypot(centers[:, 0] - c[0], centers[:, 1] - c[1])
+                if np.any(d < radii + r + gap):
+                    continue
+            centers = np.vstack([centers, c[None]])
+            radii = np.append(radii, r)
+            area += np.pi * r * r
+            placed += 1
+        # next sweep proposes smaller circles for the remaining gaps
+        hi = max(size_lower, hi * 0.5)
+        if placed == 0 and hi <= size_lower:
+            break
     return centers, radii
 
 

@@ -16,6 +16,7 @@ mcmc/toy_model.analytic_discrete_posterior).
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,11 +60,16 @@ def collect_pixel_samples(
 def pixel_dist_run(
     cfg: Config,
     trainer=None,
-    num_repeats: int = 1000,
-    num_samples_1: int = 100,
+    num_repeats: Optional[int] = None,
+    num_samples_1: Optional[int] = None,
 ) -> None:
     from ..vi.train import Trainer
 
+    # reference scale by default: 10000 repeats x 100 draws (main_ct_vae.py:648)
+    num_repeats = cfg.pixel_dist_repeats if num_repeats is None else num_repeats
+    num_samples_1 = (
+        cfg.pixel_dist_samples_1 if num_samples_1 is None else num_samples_1
+    )
     if trainer is None:
         trainer = Trainer(cfg.replace(train=False, restore=True, use_latest_ckpt=True))
     en = cfg.example_num

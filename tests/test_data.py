@@ -204,3 +204,36 @@ def test_gaussian_noise_model_moments():
     with _pytest.raises(ValueError):
         create_all_masks(sinos, 4, num_sparse_angles=4, train=True,
                          truncate_dataset=8, noise_model="bogus")
+
+
+def test_foam_packer_reaches_high_porosity_targets():
+    """Adaptive radius shrinking (xdesign's insertion-loop analogue) must
+    reach targets well past the ~0.65 dart-throwing saturation — the
+    reference draws porosity ~ U(0,1) (create_foam_images.py:39), so a
+    saturating packer would skew the whole dataset denser."""
+    from ct_pvae_tpu.data.foam import _pack_voids
+
+    rng = np.random.default_rng(0)
+    _, radii = _pack_voids(rng, 0.75, 0.01, 0.2, 0.0)
+    achieved = float(np.sum(radii**2))
+    assert achieved >= 0.72, achieved
+    # low targets must not overshoot badly
+    rng = np.random.default_rng(1)
+    _, radii = _pack_voids(rng, 0.1, 0.01, 0.2, 0.0)
+    assert float(np.sum(radii**2)) < 0.25
+
+
+def test_fidelity_report_structure(tmp_path):
+    from ct_pvae_tpu.eval.fidelity import fidelity_report, porosity_fidelity
+
+    res = fidelity_report(str(tmp_path), num=4, seed=0)
+    assert set(res) == {"porosity", "recon"}
+    rec = res["recon"]
+    assert rec["noiseless_floor"]["psnr_median"] >= rec[
+        "noisy_operating_point"
+    ]["psnr_median"] - 1e-6
+    cur = porosity_fidelity(targets=np.array([0.2]), trials=1)
+    assert abs(cur["curve"][0]["achieved_mean"] - 0.2) < 0.1
+    import os
+
+    assert os.path.exists(tmp_path / "fidelity.json")
