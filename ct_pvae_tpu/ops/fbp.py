@@ -71,12 +71,39 @@ def filter_sinogram(sinogram: Array, filter_name: str = "ramp") -> Array:
     return jnp.fft.irfft(spec * omega_r, n=p, axis=-1).astype(sinogram.dtype)
 
 
+def voronoi_angle_weights(theta: Array) -> Array:
+    """Per-angle angular-density weights for nonuniform view sets.
+
+    The FBP integral f(x) = \\int_0^pi q_theta(x . n) dtheta is discretized
+    as sum_i w_i q_i with w_i the Voronoi cell length of angle i on the
+    half-circle [0, pi) (wrapping: projections are pi-periodic up to detector
+    flip, and the datasets here draw angles from [0, pi)).  For a uniform
+    grid this reduces exactly to w_i = pi/A, i.e. classical FBP; for a random
+    sparse subset (the reference's ``--random`` masks) it compensates local
+    angle clustering the way tomopy's gridrec density-compensates its polar
+    Fourier samples — uniform pi/A weights over clustered angles double-count
+    some orientations and under-weight gaps, biasing amplitude and costing
+    several dB on the partial-sinogram baseline.
+    """
+    a = theta.shape[-1]
+    order = jnp.argsort(theta, axis=-1)
+    ts = jnp.take_along_axis(theta, order, axis=-1)
+    gaps = jnp.diff(ts, axis=-1)
+    wrap = (ts[..., :1] + math.pi) - ts[..., -1:]     # gap across the pi seam
+    g = jnp.concatenate([gaps, wrap], axis=-1)        # g[i] = ts[i+1]-ts[i]
+    g_prev = jnp.roll(g, 1, axis=-1)
+    w_sorted = 0.5 * (g + g_prev)                     # Voronoi cell of ts[i]
+    inv = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(w_sorted, inv, axis=-1).astype(theta.dtype)
+
+
 def fbp(
     sinogram: Array,
     theta: Array,
     x_size: int,
     y_size: int,
     filter_name: str = "ramp",
+    angle_weights: str = "uniform",
 ) -> Array:
     """Filtered back-projection reconstruction.
 
@@ -87,11 +114,21 @@ def fbp(
         crop to, helper_functions.py:506).
       filter_name: one of FILTERS; 'none' gives unfiltered backprojection
         (used for the mask channel, helper_functions.py:514-516).
+      angle_weights: 'uniform' — classical pi/(2A) normalization (reference
+        fbp_tensorflow.py:74); 'voronoi' — per-angle density compensation
+        (see ``voronoi_angle_weights``), bit-identical to 'uniform' on a
+        uniform angle grid.
 
     Returns: (..., x_size, y_size)
     """
     a = sinogram.shape[-2]
     filtered = filter_sinogram(sinogram, filter_name)
+    if angle_weights == "voronoi":
+        w = voronoi_angle_weights(jnp.asarray(theta))
+        recon = backproject(filtered * w[..., :, None], theta, x_size, y_size)
+        return recon * 0.5
+    if angle_weights != "uniform":
+        raise ValueError(f"unknown angle_weights {angle_weights!r}")
     recon = backproject(filtered, theta, x_size, y_size)
     # Classical FBP normalization (reference fbp_tensorflow.py:74).
     return recon * (math.pi / (2.0 * a))

@@ -294,3 +294,88 @@ def test_roll_batch_preserves_mask_dose():
             np.sort(np.asarray(batch["proj_sample"][i]).ravel()),
             rtol=1e-6,
         )
+
+
+# --- Voronoi angle weights + Fourier-regridding gridrec ---------------------
+
+
+def test_voronoi_weights_uniform_grid_reduce_to_pi_over_a():
+    from ct_pvae_tpu.ops.fbp import voronoi_angle_weights
+
+    for a in (7, 20, 180):
+        theta = jnp.linspace(0, np.pi, a, endpoint=False)
+        w = np.asarray(voronoi_angle_weights(theta))
+        np.testing.assert_allclose(w, np.pi / a, rtol=1e-5)
+
+
+def test_voronoi_weights_partition_the_half_circle():
+    from ct_pvae_tpu.ops.fbp import voronoi_angle_weights
+
+    rng = np.random.default_rng(3)
+    theta_sorted = np.sort(rng.uniform(0, np.pi, 20)).astype(np.float32)
+    perm = rng.permutation(20)
+    w = np.asarray(voronoi_angle_weights(jnp.asarray(theta_sorted[perm])))
+    # weights follow the permutation and tile [0, pi)
+    np.testing.assert_allclose(w.sum(), np.pi, rtol=1e-5)
+    w_sorted = np.asarray(voronoi_angle_weights(jnp.asarray(theta_sorted)))
+    np.testing.assert_allclose(w, w_sorted[perm], rtol=1e-5)
+
+
+def test_fbp_voronoi_equals_uniform_on_uniform_grid():
+    img = _phantom(24)
+    theta = jnp.linspace(0, np.pi, 30, endpoint=False)
+    sino = radon(img, theta, pad=True)
+    p = sino.shape[-1]
+    a = fbp(sino, theta, p, p, "ramp", angle_weights="uniform")
+    b = fbp(sino, theta, p, p, "ramp", angle_weights="voronoi")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_gridrec_matches_fbp_on_dense_uniform_angles():
+    from ct_pvae_tpu.ops.gridrec import gridrec
+
+    n = 48
+    img = _phantom(n)
+    theta = jnp.linspace(0, np.pi, 120, endpoint=False)
+    sino = radon(img, theta, pad=True)
+    p = sino.shape[-1]
+    ox = (p - n) // 2
+    rec_f = np.asarray(fbp(sino, theta, p, p, "ramp"))[ox : ox + n, ox : ox + n]
+    rec_g = np.asarray(gridrec(sino, theta, p, p, "ramp"))[ox : ox + n, ox : ox + n]
+    # same integral, different discretization: close to FBP and at least as
+    # close to the phantom
+    rel = np.linalg.norm(rec_g - rec_f) / np.linalg.norm(rec_f)
+    assert rel < 0.15, rel
+    err_f = np.linalg.norm(rec_f - np.asarray(img))
+    err_g = np.linalg.norm(rec_g - np.asarray(img))
+    assert err_g < 1.1 * err_f, (err_g, err_f)
+
+
+def test_gridrec_batched_and_nonuniform_angles():
+    from ct_pvae_tpu.ops.gridrec import gridrec
+
+    img = _phantom(16, batch=(3,))
+    rng = np.random.default_rng(0)
+    theta = jnp.asarray(np.sort(rng.uniform(0, np.pi, 9)).astype(np.float32))
+    sino = radon(img, theta, pad=True)
+    p = sino.shape[-1]
+    out = gridrec(sino, theta, p, p, "hann")
+    assert out.shape == (3, p, p)
+    assert np.isfinite(np.asarray(out)).all()
+    # batching == per-example application
+    one = gridrec(sino[1], theta, p, p, "hann")
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(one), rtol=1e-4, atol=1e-5)
+
+
+def test_gridrec_is_jittable():
+    from ct_pvae_tpu.ops.gridrec import gridrec
+
+    img = _phantom(12)
+    theta = jnp.linspace(0, np.pi, 8, endpoint=False)
+    sino = radon(img, theta, pad=True)
+    p = sino.shape[-1]
+    f = jax.jit(lambda s, t: gridrec(s, t, p, p))
+    out = f(sino, theta)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(gridrec(sino, theta, p, p)), rtol=1e-4, atol=1e-5
+    )
