@@ -147,6 +147,26 @@ def test_classical_recon_stack_shape_and_channels(tmp_path):
     np.testing.assert_array_equal(stack, stack2)
 
 
+def test_classical_recon_stack_gridrec_fourier_channel():
+    """'gridrec_fourier' routes to the true regridding algorithm: on a full
+    (unmasked) sinogram it must agree with the ramp-FBP channel to recon-grade
+    tolerance (both discretize the same inversion integral) while not being
+    the identical operator."""
+    imgs = generate_foam_images(2, n_pixel=32, seed=1)
+    theta = np.linspace(0, np.pi, 48, endpoint=False).astype(np.float32)
+    sinos = images_to_sinograms(imgs, theta, pad=True, batch=2)
+    masks = np.ones((2, 48), np.float32)
+    stack = classical_recon_stack(
+        sinos, masks, theta, ["gridrec", "gridrec_fourier"], 32, 32, batch=2
+    )
+    assert stack.shape == (2, 32, 32, 3)
+    assert np.isfinite(stack).all()
+    ramp, four = stack[..., 0], stack[..., 1]
+    err = np.abs(four - ramp).mean() / (np.abs(ramp).mean() + 1e-12)
+    assert err < 0.35, err          # same integral, different discretization
+    assert err > 1e-4               # actually a different operator
+
+
 def test_reuse_cache_masks_and_stack(tmp_path):
     """--reuse_cache: train-mode reload of cached preprocessing when shapes
     match; regeneration otherwise."""
