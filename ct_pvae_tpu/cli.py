@@ -176,6 +176,12 @@ def cmd_merit(argv) -> int:
     p.add_argument("--input_path", required=True)
     p.add_argument("--save_path", required=True)
     p.add_argument("--pnm", type=float, dest="poisson_noise_multiplier", required=True)
+    p.add_argument(
+        "--baseline_alg", choices=["fbp", "gridrec"], default="fbp",
+        help="classical recon for the full/partial baseline rows (gridrec = "
+        "Fourier regridding, the reference's tomopy algorithm class; saves "
+        "to final_ave_merit_gridrec.npy)",
+    )
     args = p.parse_args(argv)
     import os
 
@@ -192,7 +198,7 @@ def cmd_merit(argv) -> int:
     final_merit(
         gt, sinos, masks, proj, rec, theta,
         args.poisson_noise_multiplier, save_path=args.save_path,
-        reconstruction_mean=rec_mean,
+        reconstruction_mean=rec_mean, baseline_alg=args.baseline_alg,
     )
     return 0
 

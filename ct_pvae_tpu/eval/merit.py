@@ -34,13 +34,19 @@ def final_merit(
     seed: int = 0,
     batch: int = 32,
     reconstruction_mean: Optional[np.ndarray] = None,
+    baseline_alg: str = "fbp",
 ) -> np.ndarray:
     """Returns final_ave_merit (3, 3): rows = (full-sino FBP, partial-sino FBP,
     P-VAE), cols = (MSE, SSIM, PSNR).  Saved as final_ave_merit.npy.
 
     ``reconstruction_mean`` (rebuild-only): the posterior-mean reconstruction;
     scored as an extra row printed and saved to final_ave_merit_mean.npy —
-    the 3-row parity artifact is unchanged."""
+    the 3-row parity artifact is unchanged.
+
+    ``baseline_alg``: classical recon for rows 0/1 — "fbp" (ramp FBP, the
+    default every committed artifact was scored with) or "gridrec" (true
+    Fourier-regridding, ops/gridrec.py — the algorithm class the reference's
+    tomopy baselines actually use, final_merit.py:58,81)."""
     if reconstruction_final.ndim == 4:
         reconstruction_final = reconstruction_final[..., 0]
     n = reconstruction_final.shape[0]
@@ -75,13 +81,24 @@ def final_merit(
     mask_used = np.take_along_axis(masks, used_idx, axis=1)
     sino_used = sino_used / mask_used[:, :, None]                 # un-normalize dose
 
+    if baseline_alg == "gridrec":
+        from ..ops.gridrec import gridrec as _gr
+
+        def _classical(s, th):
+            return _gr(s, th, p, p, "ramp")
+    elif baseline_alg == "fbp":
+        def _classical(s, th):
+            return fbp(s, th, p, p, "ramp")
+    else:
+        raise ValueError(f"unknown baseline_alg {baseline_alg!r}")
+
     @jax.jit
     def recon_fbp(s):
-        return fbp(s, theta_j, p, p, "ramp")
+        return _classical(s, theta_j)
 
     @jax.jit
     def recon_fbp_used(s, th):
-        return jax.vmap(lambda si, ti: fbp(si, ti, p, p, "ramp"))(s, th)
+        return jax.vmap(_classical)(s, th)
 
     def run_fbp(arr, thetas=None):
         outs = []
@@ -121,7 +138,12 @@ def final_merit(
 
     if save_path is not None:
         os.makedirs(save_path, exist_ok=True)
-        np.save(os.path.join(save_path, "final_ave_merit.npy"), final_ave_merit)
+        # the parity artifact name is reserved for the default protocol;
+        # alternative baselines save under a suffixed name
+        suffix = "" if baseline_alg == "fbp" else f"_{baseline_alg}"
+        np.save(
+            os.path.join(save_path, f"final_ave_merit{suffix}.npy"), final_ave_merit
+        )
 
     if reconstruction_mean is not None:
         if reconstruction_mean.ndim == 4:

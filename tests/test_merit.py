@@ -32,6 +32,17 @@ def test_final_merit_orders_conditions(tmp_path):
     saved = np.load(f"{tmp_path}/final_ave_merit.npy")
     np.testing.assert_array_equal(saved, merit)
 
+    # gridrec baseline variant: same ordering, saves under a suffixed name so
+    # the parity artifact is never overwritten by an alternative protocol
+    merit_g = final_merit(
+        imgs, sinos, masks, noisy, recon, theta, 1e4, save_path=str(tmp_path),
+        batch=6, baseline_alg="gridrec",
+    )
+    assert merit_g[2, 0] < merit_g[0, 0] < merit_g[1, 0]
+    assert not np.allclose(merit_g[0], merit[0])  # different classical recon
+    np.testing.assert_array_equal(saved, np.load(f"{tmp_path}/final_ave_merit.npy"))
+    assert np.load(f"{tmp_path}/final_ave_merit_gridrec.npy").shape == (3, 3)
+
 
 def test_boxplot_five_condition_protocol(tmp_path):
     """Paired random/uniform trials map into the reference's 5-column layout
