@@ -89,6 +89,8 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--roll", action="store_true", dest="roll_augment")
     a("--reuse_cache", action="store_true", dest="reuse_cache")
     a("--metrics_every", type=int, dest="metrics_every", default=50)
+    a("--spc", type=int, dest="steps_per_call", default=8,
+      help="train steps fused per device call (lax.scan); 1 = step-per-dispatch")
     a("--compute_dtype", dest="compute_dtype", default="float32")
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")
 

@@ -117,6 +117,12 @@ class Config:
     # jax.profiler trace of this many train steps into <save_path>/profile
     # (the reference only records wall-clock .npy timings, SURVEY.md §5.1)
     profile_steps: int = 0
+    # train steps fused into one device call (lax.scan over the jitted step).
+    # On a remote-dispatch backend each per-step dispatch costs a host round
+    # trip; fusing K steps amortizes it.  1 = dispatch every step.  The PRNG
+    # key sequence, index streams, anneal recurrences and metric rows are
+    # identical for any value (tests/test_train_toy.py equivalence test).
+    steps_per_call: int = 8
 
     # ---- derived helpers ----
     @property

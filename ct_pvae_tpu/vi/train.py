@@ -426,35 +426,81 @@ class Trainer:
             stream_specs = {k: PartitionSpec("data") for k in host_np}
             dummy_idx = jnp.zeros((0,), jnp.int32)
 
-        for it in range(cfg.num_iter):
+        # Multi-step fusion: lax.scan over the jitted step runs K iterations
+        # per device call, so the per-step host dispatch round trip (the
+        # dominant fixed cost on a remote-dispatch backend) is paid once per
+        # K steps.  Chunks never cross a save_interval boundary and carry the
+        # exact per-step key/index sequence, so any steps_per_call value
+        # (including 1) trains identically step for step.
+        spc = max(1, int(cfg.steps_per_call))
+        use_scan = spc > 1 and not stream and not cfg.profile_steps
+        if use_scan and getattr(self, "_train_scan", None) is None:
+            single = self._train_step_fn
+
+            def _multi(state, data, bidx_k, aidx_k, keys_k):
+                def body(st, xs):
+                    return single(st, data, *xs)
+
+                return jax.lax.scan(body, state, (bidx_k, aidx_k, keys_k))
+
+            self._train_scan = jax.jit(_multi, donate_argnums=(0,))
+
+        si = max(1, cfg.save_interval)
+        buf_rows = 0
+        it = 0
+        while it < cfg.num_iter:
             if cfg.profile_steps and cfg.save_path:
                 # trace steps [2, 2+profile_steps) after warmup/compile
                 if it == 2:
                     jax.profiler.start_trace(os.path.join(cfg.save_path, "profile"))
                     profile_started = True
-                elif profile_started and it == 2 + cfg.profile_steps:
+                elif profile_started and it >= 2 + cfg.profile_steps:
                     jax.profiler.stop_trace()
                     profile_started = False
-            key, skey = jax.random.split(key)
-            batch_idx = batch_stream.next()
-            angle_idx = jnp.asarray(angle_stream.next())
+            if use_scan:
+                # end the chunk exactly at the next save boundary (an iter j
+                # with j % si == 0 saves after executing, ref :409-415)
+                j0 = it if it % si == 0 else ((it // si) + 1) * si
+                k_steps = min(spc, cfg.num_iter - it, j0 - it + 1)
+            else:
+                k_steps = 1
+            skeys, bidxs, aidxs = [], [], []
+            for _ in range(k_steps):
+                key, skey = jax.random.split(key)
+                skeys.append(skey)
+                bidxs.append(batch_stream.next())
+                aidxs.append(angle_stream.next())
+            last = it + k_steps - 1
             if stream:
+                batch_idx = bidxs[0]
                 lo, n_loc = host_local_batch_slice(cfg.batch_size)
                 local = {
                     k: v[batch_idx[lo : lo + n_loc]] for k, v in host_np.items()
                 }
                 gbatch = make_global_batch(self.mesh, local, stream_specs)
                 self.state, step_metrics = stream_step(
-                    self.state, gbatch, dummy_idx, angle_idx, skey
+                    self.state, gbatch, dummy_idx, jnp.asarray(aidxs[0]), skeys[0]
                 )
+                metric_buf.append(step_metrics[None])
+            elif use_scan:
+                self.state, step_metrics = self._train_scan(
+                    self.state,
+                    self.data,
+                    jnp.asarray(np.stack(bidxs)),
+                    jnp.asarray(np.stack(aidxs)),
+                    jnp.stack(skeys),
+                )
+                metric_buf.append(step_metrics)  # (K, 4)
             else:
                 self.state, step_metrics = self._train_step(
-                    self.state, self.data, jnp.asarray(batch_idx), angle_idx, skey
+                    self.state, self.data, jnp.asarray(bidxs[0]),
+                    jnp.asarray(aidxs[0]), skeys[0]
                 )
-            metric_buf.append(step_metrics)
-            if len(metric_buf) >= flush_every or it == cfg.num_iter - 1:
-                block = np.asarray(jnp.stack(metric_buf))  # one device->host read
-                first = start_step + it + 1 - len(metric_buf) + 1
+                metric_buf.append(step_metrics[None])
+            buf_rows += k_steps
+            if buf_rows >= flush_every or last == cfg.num_iter - 1:
+                block = np.asarray(jnp.concatenate(metric_buf))  # one device->host read
+                first = start_step + last + 1 - buf_rows + 1
                 for j, row in enumerate(block):
                     self.metrics.log(
                         first + j,
@@ -464,10 +510,11 @@ class Trainer:
                         kl_anneal=row[3],
                     )
                 metric_buf = []
+                buf_rows = 0
                 if np.isnan(block[:, 0]).any():
                     # ref aborts on NaN loss (main_ct_vae.py:401-402); we stop
                     # training but keep artifacts.
-                    print(f"NaN loss within steps ending at iter {it}; stopping")
+                    print(f"NaN loss within steps ending at iter {last}; stopping")
                     stop = True
             if not setup_time_saved:
                 # ref saves setup wall-clock at first iter (main_ct_vae.py:403-408)
@@ -479,12 +526,13 @@ class Trainer:
                     )
                 start_time = time.time()
             if cfg.save_path and is_primary() and (
-                it % cfg.save_interval == 0 or it == cfg.num_iter - 1
+                last % cfg.save_interval == 0 or last == cfg.num_iter - 1
             ):
                 self.metrics.save_npy_contract()
                 self.checkpoint()
             if stop:
                 break
+            it += k_steps
         if profile_started:
             jax.profiler.stop_trace()
         if cfg.save_path and is_primary():

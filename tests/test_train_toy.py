@@ -138,3 +138,35 @@ def test_toy_trainer_roll_augment(tmp_path_factory, toy_data):
     tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
     tr.train()
     assert np.isfinite(tr.metrics.history["loss"]).all()
+
+
+def test_steps_per_call_equivalence(tmp_path_factory, toy_data):
+    """Multi-step scan fusion trains identically to step-per-dispatch: the
+    chunked loop replays the same PRNG/index sequence, respects save
+    boundaries, and logs every per-step metric row."""
+    import os
+
+    images, sinos, theta = toy_data
+    outs = {}
+    for spc in (1, 4):
+        save = str(tmp_path_factory.mktemp(f"toy_spc{spc}"))
+        cfg = toy_config(
+            truncate_dataset=16, num_iter=11, num_samples=1, save_path=save,
+            train=True, save_interval=4, steps_per_call=spc, metrics_every=3,
+        )
+        tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
+        tr.train()
+        outs[spc] = (tr.state, list(tr.metrics.history["loss"]), save)
+
+    l1, l4 = outs[1][1], outs[4][1]
+    assert len(l1) == len(l4) == 11          # every step logged exactly once
+    np.testing.assert_allclose(l1, l4, rtol=1e-4, atol=1e-6)
+    p1 = jax.tree_util.tree_leaves(outs[1][0].params)
+    p4 = jax.tree_util.tree_leaves(outs[4][0].params)
+    for a, b in zip(p1, p4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    assert int(outs[1][0].step) == int(outs[4][0].step) == 11
+    # save boundaries hit in both modes (iters 0, 4, 8, final)
+    for spc in (1, 4):
+        ckpts = sorted(os.listdir(os.path.join(outs[spc][2], "training_checkpoints")))
+        assert ckpts == ["ckpt-1.msgpack", "ckpt-11.msgpack", "ckpt-5.msgpack", "ckpt-9.msgpack"], ckpts
