@@ -60,8 +60,9 @@ def main() -> None:
     tr = Trainer(cfg, sinograms=sinos, theta=theta)
 
     # Warmup: one short train() pass absorbs jit compilation (the jitted step
-    # is cached on the Trainer, so the timed pass below reuses it).
-    tr.cfg = cfg.replace(num_iter=3)
+    # and the steps_per_call scan are cached on the Trainer, so the timed pass
+    # below reuses them; > steps_per_call+1 iters so BOTH programs compile).
+    tr.cfg = cfg.replace(num_iter=cfg.steps_per_call + 4)
     tr.train()
 
     tr.cfg = cfg

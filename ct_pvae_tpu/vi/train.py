@@ -482,7 +482,7 @@ class Trainer:
                     self.state, gbatch, dummy_idx, jnp.asarray(aidxs[0]), skeys[0]
                 )
                 metric_buf.append(step_metrics[None])
-            elif use_scan:
+            elif use_scan and k_steps == spc:
                 self.state, step_metrics = self._train_scan(
                     self.state,
                     self.data,
@@ -492,11 +492,14 @@ class Trainer:
                 )
                 metric_buf.append(step_metrics)  # (K, 4)
             else:
-                self.state, step_metrics = self._train_step(
-                    self.state, self.data, jnp.asarray(bidxs[0]),
-                    jnp.asarray(aidxs[0]), skeys[0]
-                )
-                metric_buf.append(step_metrics[None])
+                # partial chunks (save/end boundaries) run step-per-dispatch:
+                # scan length is a static shape, so a K<spc scan would compile
+                # a fresh program per distinct tail length
+                for bi, ai, sk in zip(bidxs, aidxs, skeys):
+                    self.state, step_metrics = self._train_step(
+                        self.state, self.data, jnp.asarray(bi), jnp.asarray(ai), sk
+                    )
+                    metric_buf.append(step_metrics[None])
             buf_rows += k_steps
             if buf_rows >= flush_every or last == cfg.num_iter - 1:
                 block = np.asarray(jnp.concatenate(metric_buf))  # one device->host read
