@@ -179,12 +179,18 @@ def cmd_merit(argv) -> int:
     p.add_argument("--save_path", required=True)
     p.add_argument("--pnm", type=float, dest="poisson_noise_multiplier", required=True)
     p.add_argument(
-        "--baseline_alg", choices=["fbp", "gridrec"], default="fbp",
-        help="classical recon for the full/partial baseline rows (gridrec = "
-        "Fourier regridding, the reference's tomopy algorithm class; saves "
-        "to final_ave_merit_gridrec.npy)",
+        "--baseline_alg", choices=["fbp", "gridrec", "gridrec_fourier"],
+        default="fbp",
+        help="classical recon for the full/partial baseline rows. "
+        "'gridrec_fourier' (alias: 'gridrec') = the Fourier-regridding class "
+        "the reference's tomopy baselines use — the SAME algorithm that "
+        "`train --algorithms gridrec_fourier` wires as an init channel "
+        "(`train --algorithms gridrec` is the ramp-FBP artifact-compat "
+        "channel instead); saves to final_ave_merit_gridrec.npy",
     )
     args = p.parse_args(argv)
+    if args.baseline_alg == "gridrec_fourier":
+        args.baseline_alg = "gridrec"  # one algorithm, one canonical name
     import os
 
     from .data import io as data_io

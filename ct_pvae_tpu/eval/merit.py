@@ -4,8 +4,11 @@ Reference bin/final_merit.py: compares, over the whole (truncated) dataset and
 against ground truth, (0) FBP of the Poisson-noised FULL sinogram — the upper
 bound; (1) FBP of the noisy PARTIAL sinogram — the classical baseline; (2) the
 P-VAE reconstruction.  All recons are clipped to [0, 1] before scoring
-(final_merit.py:60-96).  Our classical recons use ct_pvae_tpu.ops.fbp in place
-of tomopy gridrec.
+(final_merit.py:60-96).  Classical recons for rows 0/1 are selected by
+``baseline_alg``: the default "fbp" scores against ct_pvae_tpu.ops.fbp's
+pixel-driven ramp FBP, while "gridrec" (CLI alias "gridrec_fourier") scores
+against ct_pvae_tpu.ops.gridrec — the Fourier-regridding class the
+reference's tomopy baselines actually use.
 """
 
 from __future__ import annotations

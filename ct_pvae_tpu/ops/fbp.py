@@ -84,6 +84,12 @@ def voronoi_angle_weights(theta: Array) -> Array:
     Fourier samples — uniform pi/A weights over clustered angles double-count
     some orientations and under-weight gaps, biasing amplitude and costing
     several dB on the partial-sinogram baseline.
+
+    Assumes ``theta`` is in RADIANS with span ``max - min < pi`` (every
+    dataset in this repo draws angles from [0, pi)).  A wider span (or
+    degrees) would make the wrap gap at the pi seam negative; gaps are
+    clamped to >= 0 so the weights stay non-negative, but densities across
+    a >pi span are not meaningful — re-map such angles into [0, pi) first.
     """
     a = theta.shape[-1]
     order = jnp.argsort(theta, axis=-1)
@@ -91,6 +97,7 @@ def voronoi_angle_weights(theta: Array) -> Array:
     gaps = jnp.diff(ts, axis=-1)
     wrap = (ts[..., :1] + math.pi) - ts[..., -1:]     # gap across the pi seam
     g = jnp.concatenate([gaps, wrap], axis=-1)        # g[i] = ts[i+1]-ts[i]
+    g = jnp.maximum(g, 0.0)                           # guard span >= pi inputs
     g_prev = jnp.roll(g, 1, axis=-1)
     w_sorted = 0.5 * (g + g_prev)                     # Voronoi cell of ts[i]
     inv = jnp.argsort(order, axis=-1)

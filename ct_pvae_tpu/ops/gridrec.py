@@ -20,6 +20,18 @@ All constants are derived, none calibrated: tests check agreement with the
 pixel-driven FBP (ops/fbp.py) on dense uniform angles, where both discretize
 the same integral.
 
+Accepted band-edge error: kernel taps are wrapped onto the lattice with
+``jnp.mod(idx, m)``, so taps of polar samples at exactly lattice Nyquist
+(|g| == m/2, the outermost detector frequencies) alias onto the conjugate
+band edge.  On a periodic DFT lattice this wrap is identical to the
+pad-by-kernel_width-and-fold formulation of classical gridding; the residual
+aliasing is confined to the highest |omega| ring, is attenuated by the KB
+apodization, and sits below the ramp-filter discretization error measured in
+tests/test_eval.py's FBP-agreement check.  Eliminating it entirely would
+require enlarging the IFFT lattice beyond ``oversample * pg`` so polar
+Nyquist samples fall strictly inside the band — not worth the extra FFT cost
+at the accuracy level validated here.
+
 Geometry matches ops/radon.py's backprojector: image axes (x, y), projection
 coordinate t = y cos(theta) - x sin(theta) + (P-1)/2, so a projection at
 angle theta samples the spectrum along the unit vector (-sin theta, cos theta).

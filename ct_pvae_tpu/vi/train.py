@@ -434,6 +434,12 @@ class Trainer:
         # (including 1) trains identically step for step.
         spc = max(1, int(cfg.steps_per_call))
         use_scan = spc > 1 and not stream and not cfg.profile_steps
+        if use_scan and cfg.save_path and cfg.save_interval <= spc:
+            print(
+                f"warning: save_interval={cfg.save_interval} <= "
+                f"steps_per_call={spc} forces 1-step chunks and disables "
+                "multi-step dispatch fusion; raise save_interval to fuse"
+            )
         if use_scan and getattr(self, "_train_scan", None) is None:
             single = self._train_step_fn
 
@@ -458,10 +464,15 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profile_started = False
             if use_scan:
-                # end the chunk exactly at the next save boundary (an iter j
-                # with j % si == 0 saves after executing, ref :409-415)
-                j0 = it if it % si == 0 else ((it // si) + 1) * si
-                k_steps = min(spc, cfg.num_iter - it, j0 - it + 1)
+                if cfg.save_path:
+                    # end the chunk exactly at the next save boundary (an iter
+                    # j with j % si == 0 saves after executing, ref :409-415)
+                    j0 = it if it % si == 0 else ((it // si) + 1) * si
+                    k_steps = min(spc, cfg.num_iter - it, j0 - it + 1)
+                else:
+                    # no checkpoints happen without a save_path, so there is
+                    # no boundary to respect — keep full-size fused chunks
+                    k_steps = min(spc, cfg.num_iter - it)
             else:
                 k_steps = 1
             skeys, bidxs, aidxs = [], [], []
