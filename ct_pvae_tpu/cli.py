@@ -64,7 +64,7 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--train_pnm", action="store_true", dest="train_pnm")
     a("-r", type=int, dest="restore_num", default=None)
     a("--random", action="store_true", dest="random_angles")
-    a("--uniform", action="store_false", dest="random_angles",
+    a("--uniform", action="store_false", dest="random_angles", default=False,
       help="force uniform sparse-angle masks (overrides a config file's "
       "random_angles: true; the reference's default regime)")
     a("--restore", action="store_true", dest="restore")

@@ -54,10 +54,11 @@ def _ceil_to(x: int, m: int) -> int:
 _VMEM_BLOCK_BYTES = 8 * 1024 * 1024
 
 
-def _batch_tile(b: int, h_pad: int, w_pad: int) -> Tuple[int, int]:
+def _batch_tile(b: int, h_pad: int, w_pad: int, n_blocks: int = 1) -> Tuple[int, int]:
     """(b_pad, tile) with tile a multiple of the sublane count dividing b_pad,
-    sized so tile*h_pad*w_pad*4 <= the VMEM block budget."""
-    per_elem = h_pad * w_pad * 4
+    sized so ``n_blocks`` resident (tile, h_pad, w_pad) f32 blocks fit the
+    VMEM block budget together."""
+    per_elem = h_pad * w_pad * 4 * n_blocks
     tile = max(_SUB, (_VMEM_BLOCK_BYTES // per_elem) // _SUB * _SUB)
     tile = min(tile, _ceil_to(b, _SUB))
     b_pad = _ceil_to(b, tile)
@@ -391,3 +392,225 @@ def _radon_dyn_bwd(n_det, interpret, res, g):
 
 
 radon_pallas_dynamic.defvjp(_radon_dyn_fwd, _radon_dyn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused dual-axis variant: ONE kernel pass over the angle grid.  The dual-
+# table form above runs BOTH the x-major and y-major kernels over every angle
+# (wrong-group rows masked to zero weight), doubling matmul and weight-tile
+# work.  Here the per-angle scalar row carries its own group flag and the
+# kernel keeps the image AND its transpose resident, selecting the row source
+# per angle — each angle cell does exactly one weight tile + one (B, W) @
+# (W, T) chain, halving the dynamic path's projector FLOPs.  Requires square
+# images (H == W), which the training path guarantees (recon padded to
+# n_det x n_det).
+# ---------------------------------------------------------------------------
+
+
+def angle_table_fused(theta: np.ndarray, h: int, w: int, n_det: int) -> np.ndarray:
+    """Static (A, 5) table: (slope_t, slope_r, offset, weight, is_y_major).
+
+    Row a holds the x-major scalars when |cos| >= |sin| (flag 0) and the
+    y-major (transposed-image) scalars otherwise (flag 1) — the same geometry
+    as :func:`_angle_scalars`, merged into one table.
+    """
+    assert h == w, "fused dynamic projector requires square images"
+    theta = np.asarray(theta, np.float64)
+    c = np.cos(theta)
+    s = np.sin(theta)
+    cx = (h - 1) / 2.0
+    cy = (w - 1) / 2.0
+    ct = (n_det - 1) / 2.0
+    x_major = np.abs(c) >= np.abs(s)
+
+    safe_c = np.where(x_major, c, 1.0)
+    safe_s = np.where(~x_major, s, 1.0)
+    tab = np.stack(
+        (
+            np.where(x_major, 1.0 / safe_c, -1.0 / safe_s),
+            np.where(x_major, s / safe_c, c / safe_s),
+            np.where(
+                x_major,
+                cy - ct / safe_c - cx * (s / safe_c),
+                cx + ct / safe_s - cy * (c / safe_s),
+            ),
+            np.where(x_major, 1.0 / np.abs(safe_c), 1.0 / np.abs(safe_s)),
+            np.where(x_major, 0.0, 1.0),
+        ),
+        axis=-1,
+    )
+    return tab.astype(np.float32)
+
+
+def _fwd_kernel_fused(
+    scal_ref, img_ref, imgt_ref, out_ref, g_scratch, acc_scratch, *, h: int, w_pad: int, t_pad: int
+):
+    """One (batch_tile, angle) cell; row source picked by the group flag."""
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    a = pl.program_id(1)
+    slope_t = scal_ref[a, 0]
+    slope_r = scal_ref[a, 1]
+    offset = scal_ref[a, 2]
+    weight = scal_ref[a, 3]
+    is_y = scal_ref[a, 4] > 0.5
+
+    yy = lax.broadcasted_iota(jnp.int32, (w_pad, t_pad), 0).astype(jnp.float32)
+    tt = lax.broadcasted_iota(jnp.int32, (w_pad, t_pad), 1).astype(jnp.float32)
+
+    acc_scratch[:, :] = jnp.zeros((acc_scratch.shape[0], acc_scratch.shape[1]), jnp.float32)
+
+    def body(r, _):
+        pos = offset + slope_t * tt + slope_r * r.astype(jnp.float32)
+        g_scratch[:, :] = weight * jnp.maximum(0.0, 1.0 - jnp.abs(yy - pos))
+        row = jnp.where(is_y, imgt_ref[:, r, :], img_ref[:, r, :])
+        acc_scratch[:, :] += jnp.dot(
+            row, g_scratch[:, :], preferred_element_type=jnp.float32
+        )
+        return 0
+
+    lax.fori_loop(0, h, body, 0)
+    out_ref[0, :, :] = acc_scratch[:, :]
+
+
+def _adj_kernel_fused(scal_ref, sino_ref, out_ref, outt_ref, g_scratch, *, h: int, w_pad: int, t_pad: int):
+    """Adjoint cell: accumulate into the straight or transposed image grad."""
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    a = pl.program_id(1)
+    slope_t = scal_ref[a, 0]
+    slope_r = scal_ref[a, 1]
+    offset = scal_ref[a, 2]
+    weight = scal_ref[a, 3]
+    is_y = scal_ref[a, 4] > 0.5
+
+    tt = lax.broadcasted_iota(jnp.int32, (t_pad, w_pad), 0).astype(jnp.float32)
+    yy = lax.broadcasted_iota(jnp.int32, (t_pad, w_pad), 1).astype(jnp.float32)
+
+    @pl.when(a == 0)
+    def _():
+        out_ref[:, :, :] = jnp.zeros(
+            (out_ref.shape[0], out_ref.shape[1], out_ref.shape[2]), jnp.float32
+        )
+        outt_ref[:, :, :] = jnp.zeros(
+            (outt_ref.shape[0], outt_ref.shape[1], outt_ref.shape[2]), jnp.float32
+        )
+
+    def body(r, _):
+        pos = offset + slope_t * tt + slope_r * r.astype(jnp.float32)
+        g_scratch[:, :] = weight * jnp.maximum(0.0, 1.0 - jnp.abs(yy - pos))
+        contrib = jnp.dot(
+            sino_ref[0, :, :], g_scratch[:, :], preferred_element_type=jnp.float32
+        )
+        zero = jnp.zeros_like(contrib)
+        out_ref[:, r, :] += jnp.where(is_y, zero, contrib)
+        outt_ref[:, r, :] += jnp.where(is_y, contrib, zero)
+        return 0
+
+    lax.fori_loop(0, h, body, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def radon_pallas_fused(
+    image: Array,     # (B, N, N) square
+    scal: Array,      # (A_sub, 5) traced gather of angle_table_fused()
+    n_det: int,
+    interpret: bool = False,
+) -> Array:
+    """Radon transform for a traced angle subset, one kernel pass.
+
+    Same result as :func:`radon_pallas_dynamic` (tested against it) at half
+    the kernel work; (B, A_sub, n_det).
+    """
+    return _fused_fwd_impl(image, scal, n_det, interpret)
+
+
+def _fused_fwd_impl(image, scal, n_det, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = image.shape
+    a_sub = scal.shape[0]
+    h_pad = _ceil_to(h, _SUB)
+    w_pad = _ceil_to(w, _LANE)
+    t_pad = _ceil_to(n_det, _LANE)
+    b_pad, b_tile = _batch_tile(b, h_pad, w_pad, n_blocks=2)
+    imgs = jnp.pad(
+        image, ((0, b_pad - b), (0, h_pad - h), (0, w_pad - w))
+    ).astype(jnp.float32)
+    imgs_t = jnp.pad(
+        jnp.swapaxes(image, 1, 2), ((0, b_pad - b), (0, h_pad - w), (0, w_pad - h))
+    ).astype(jnp.float32)
+
+    kernel = functools.partial(_fwd_kernel_fused, h=h, w_pad=w_pad, t_pad=t_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // b_tile, a_sub),
+        in_specs=[
+            pl.BlockSpec((b_tile, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0)),
+            pl.BlockSpec((b_tile, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, b_tile, t_pad), lambda bt, a, *_: (a, bt, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((w_pad, t_pad), jnp.float32),
+            pltpu.VMEM((b_tile, t_pad), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((a_sub, b_pad, t_pad), jnp.float32),
+        interpret=interpret,
+    )(scal, imgs, imgs_t)
+    return jnp.transpose(out[:, :b, :n_det], (1, 0, 2))
+
+
+def _fused_adj_impl(g, scal, h, w, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, a_sub, n_det = g.shape
+    h_pad = _ceil_to(h, _SUB)
+    w_pad = _ceil_to(w, _LANE)
+    t_pad = _ceil_to(n_det, _LANE)
+    b_pad, b_tile = _batch_tile(b, h_pad, w_pad, n_blocks=2)
+    sino_p = jnp.pad(
+        jnp.transpose(g, (1, 0, 2)),
+        ((0, 0), (0, b_pad - b), (0, t_pad - n_det)),
+    ).astype(jnp.float32)
+
+    kernel = functools.partial(_adj_kernel_fused, h=h, w_pad=w_pad, t_pad=t_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // b_tile, a_sub),
+        in_specs=[pl.BlockSpec((1, b_tile, t_pad), lambda bt, a, *_: (a, bt, 0))],
+        out_specs=[
+            pl.BlockSpec((b_tile, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0)),
+            pl.BlockSpec((b_tile, h_pad, w_pad), lambda bt, a, *_: (bt, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((t_pad, w_pad), jnp.float32)],
+    )
+    out, out_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, h_pad, w_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scal, sino_p)
+    return out[:b, :h, :w] + jnp.swapaxes(out_t[:b, :w, :h], 1, 2)
+
+
+def _radon_fused_fwd(image, scal, n_det, interpret):
+    return _fused_fwd_impl(image, scal, n_det, interpret), (image.shape, scal)
+
+
+def _radon_fused_bwd(n_det, interpret, res, g):
+    (b, h, w), scal = res
+    return (_fused_adj_impl(g, scal, h, w, interpret), jnp.zeros_like(scal))
+
+
+radon_pallas_fused.defvjp(_radon_fused_fwd, _radon_fused_bwd)

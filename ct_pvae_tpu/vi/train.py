@@ -261,17 +261,17 @@ class Trainer:
             ):
                 use_pallas = False
         if use_pallas:
-            from ..ops.pallas_radon import angle_tables, radon_pallas_dynamic
+            from ..ops.pallas_radon import angle_table_fused, radon_pallas_fused
             from ..ops.radon import pad_phantom
 
-            table_x, table_y = angle_tables(self.theta, n_det, n_det, n_det)
-            table_x = jnp.asarray(table_x)
-            table_y = jnp.asarray(table_y)
+            # fused dual-axis table: one kernel pass per angle (the dual-
+            # table form ran both major-axis kernels over every angle)
+            table_f = jnp.asarray(angle_table_fused(self.theta, n_det, n_det, n_det))
             # interpret mode makes the kernels pure-JAX for CPU test meshes
             interpret = jax.default_backend() != "tpu"
 
-            def _project(recon_padded, sx, sy):
-                return radon_pallas_dynamic(recon_padded, sx, sy, n_det, interpret)
+            def _project(recon_padded, sc):
+                return radon_pallas_fused(recon_padded, sc, n_det, interpret)
 
             if mesh is not None:
                 # check_vma=False: pallas_call's out_shape carries no
@@ -279,7 +279,7 @@ class Trainer:
                 _project_sharded = jax.shard_map(
                     _project,
                     mesh=mesh,
-                    in_specs=(P("data", None, None), P("angle", None), P("angle", None)),
+                    in_specs=(P("data", None, None), P("angle", None)),
                     out_specs=P("data", "angle", None),
                     check_vma=False,
                 )
@@ -292,11 +292,10 @@ class Trainer:
                     if angles_i is None
                     else angles_i
                 )
-                sx = jnp.take(table_x, idx, axis=0)
-                sy = jnp.take(table_y, idx, axis=0)
+                sc = jnp.take(table_f, idx, axis=0)
                 if mesh is not None:
-                    return _project_sharded(recon, sx, sy)
-                return _project(recon, sx, sy)
+                    return _project_sharded(recon, sc)
+                return _project(recon, sc)
 
         def shard_batch(batch):
             if mesh is None:

@@ -106,6 +106,61 @@ def test_pallas_dynamic_angle_subset_matches_static():
     assert float(jnp.linalg.norm(g)) > 0
 
 
+def test_pallas_fused_matches_dynamic():
+    """Fused dual-axis form == masked dual-table form (value and VJP)."""
+    from ct_pvae_tpu.ops.pallas_radon import (
+        angle_table_fused,
+        angle_tables,
+        radon_pallas_dynamic,
+        radon_pallas_fused,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 24
+    theta = np.linspace(0, np.pi, 17, endpoint=False)
+    img = jnp.asarray(rng.uniform(0, 1, (3, n, n)).astype(np.float32))
+    tx, ty = angle_tables(theta, n, n, n)
+    tf = angle_table_fused(theta, n, n, n)
+    idx = jnp.asarray([0, 13, 4, 9, 16], jnp.int32)  # both axis groups
+
+    ref = radon_pallas_dynamic(img, jnp.asarray(tx)[idx], jnp.asarray(ty)[idx], n, True)
+    out = radon_pallas_fused(img, jnp.asarray(tf)[idx], n, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+    _, vjp_ref = jax.vjp(
+        lambda im: radon_pallas_dynamic(im, jnp.asarray(tx)[idx], jnp.asarray(ty)[idx], n, True),
+        img,
+    )
+    _, vjp_out = jax.vjp(lambda im: radon_pallas_fused(im, jnp.asarray(tf)[idx], n, True), img)
+    np.testing.assert_allclose(
+        np.asarray(vjp_out(g)[0]), np.asarray(vjp_ref(g)[0]), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_pallas_fused_adjointness_and_batch_tiling(monkeypatch):
+    """<Ax, y> == <x, A^T y> through the fused VJP, incl. multi-tile batches."""
+    import ct_pvae_tpu.ops.pallas_radon as pr
+
+    # shrink the VMEM budget so the batch splits into several tiles
+    monkeypatch.setattr(pr, "_VMEM_BLOCK_BYTES", 64 * 1024)
+    rng = np.random.default_rng(1)
+    n, b = 16, 20
+    theta = np.linspace(0, np.pi, 9, endpoint=False)
+    tf = jnp.asarray(pr.angle_table_fused(theta, n, n, n))
+    x = jnp.asarray(rng.normal(size=(b, n, n)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(b, len(theta), n)).astype(np.float32))
+    ax, vjp = jax.vjp(lambda im: pr.radon_pallas_fused(im, tf, n, True), x)
+    aty = vjp(y)[0]
+    np.testing.assert_allclose(
+        float(jnp.vdot(ax, y)), float(jnp.vdot(x, aty)), rtol=1e-5
+    )
+    # multi-tile == single-tile result
+    monkeypatch.setattr(pr, "_VMEM_BLOCK_BYTES", 8 * 1024 * 1024)
+    ax1 = pr.radon_pallas_fused(x, tf, n, True)
+    np.testing.assert_allclose(np.asarray(ax), np.asarray(ax1), rtol=1e-6, atol=1e-6)
+
+
 def test_angle_tables_degenerate_angles_are_masked_safely():
     """theta = 0 and pi/2 are exactly axis-aligned; the wrong-group table rows
     must contribute exactly zero with no inf/NaN leakage."""
