@@ -93,7 +93,8 @@ class ConvBlock(nn.Module):
         # output channel's reduction is independent).  At this model's small
         # channel counts the step is bound by conv dispatch count and MXU
         # lane utilization, not FLOPs — fusing the pair halves the former and
-        # doubles the latter (measured: paper-config loop 28 -> ~36 steps/s).
+        # doubles the latter (measured: paper-config loop 28.2 -> 32.4
+        # steps/s; 37+ with the fused projector, scripts/profile_scan.py).
         # Parameters stay TWO separate Conv/ConvTranspose children so every
         # existing checkpoint (incl. the archived paper run) restores
         # unchanged; the branches are only ever CALLED at init time.

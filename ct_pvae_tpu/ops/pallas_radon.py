@@ -532,6 +532,7 @@ def _fused_fwd_impl(image, scal, n_det, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w = image.shape
+    assert h == w, "fused dynamic projector requires square images"
     a_sub = scal.shape[0]
     h_pad = _ceil_to(h, _SUB)
     w_pad = _ceil_to(w, _LANE)
@@ -572,6 +573,7 @@ def _fused_adj_impl(g, scal, h, w, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     b, a_sub, n_det = g.shape
+    assert h == w, "fused dynamic projector requires square images"
     h_pad = _ceil_to(h, _SUB)
     w_pad = _ceil_to(w, _LANE)
     t_pad = _ceil_to(n_det, _LANE)

@@ -1,5 +1,13 @@
 """Decompose the paper-config train-step time on one chip.
 
+CAVEAT (measured): on the remote axon backend, standalone jitted programs
+carry a per-call dispatch overhead that scales with program size — the
+backward-pass measurements here read ~10x larger than the same computation
+inside Trainer.train()'s fused scan.  Use scripts/profile_scan.py (variant
+timing through the real loop) for honest per-component attribution; this
+script is kept for the forward-only and kernel-level numbers, which agree
+with the in-loop results.
+
 Times, with compile excluded and a forced host read to defeat async dispatch:
   (1) full jitted train step (fwd+bwd+adam)
   (2) ELBO forward only (value, no grad)

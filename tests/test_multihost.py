@@ -76,7 +76,9 @@ def _run_workers(tmp_path, nprocs: int, stream: bool) -> dict:
                 stderr=subprocess.STDOUT,
             )
         )
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    # generous: 2 workers share this box's 2 cores, and a concurrent TPU
+    # training loop (bench/campaign) can double wall-clock for the compiles
+    outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
     with open(out_json) as f:
