@@ -264,14 +264,25 @@ class Trainer:
             from ..ops.pallas_radon import angle_table_fused, radon_pallas_fused
             from ..ops.radon import pad_phantom
 
-            # fused dual-axis table: one kernel pass per angle (the dual-
-            # table form ran both major-axis kernels over every angle)
-            table_f = jnp.asarray(angle_table_fused(self.theta, n_det, n_det, n_det))
+            # Fused dual-axis table: one kernel pass per angle (the dual-
+            # table form ran both major-axis kernels over every angle).
+            # The Joseph-method kernel integrates over the image support
+            # only, so the reference's zero-padding of the recon to
+            # n_det x n_det before projection (pad_phantom, ref
+            # forward_functions.py:18-46) is a no-op for it: building the
+            # scalar table for the UNPADDED square recon projects onto the
+            # same n_det detector exactly (tested), with n_det/x_size fewer
+            # row matmuls per angle and no per-step pad copy.
+            skip_pad = pad and self.x_size == self.y_size
+            img_hw = self.x_size if skip_pad else n_det
+            table_f = jnp.asarray(
+                angle_table_fused(self.theta, img_hw, img_hw, n_det)
+            )
             # interpret mode makes the kernels pure-JAX for CPU test meshes
             interpret = jax.default_backend() != "tpu"
 
-            def _project(recon_padded, sc):
-                return radon_pallas_fused(recon_padded, sc, n_det, interpret)
+            def _project(recon_sq, sc):
+                return radon_pallas_fused(recon_sq, sc, n_det, interpret)
 
             if mesh is not None:
                 # check_vma=False: pallas_call's out_shape carries no
@@ -285,7 +296,7 @@ class Trainer:
                 )
 
             def project_fn(recon, angles_i):
-                if pad:
+                if pad and not skip_pad:
                     recon = pad_phantom(recon, n_det)
                 idx = (
                     jnp.arange(self.num_angles, dtype=jnp.int32)

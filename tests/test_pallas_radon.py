@@ -161,6 +161,33 @@ def test_pallas_fused_adjointness_and_batch_tiling(monkeypatch):
     np.testing.assert_allclose(np.asarray(ax), np.asarray(ax1), rtol=1e-6, atol=1e-6)
 
 
+def test_pallas_fused_unpadded_equals_padded():
+    """A table built for the unpadded square image projects onto the same
+    n_det detector as pad_phantom + an n_det-sized table (the trainer's
+    skip_pad fast path): the Joseph kernel integrates over image support
+    only, so the reference's zero-pad is a no-op for it."""
+    from ct_pvae_tpu.ops.pallas_radon import angle_table_fused, radon_pallas_fused
+    from ct_pvae_tpu.ops.radon import pad_phantom
+
+    rng = np.random.default_rng(2)
+    n, b = 32, 2
+    n_det = int(np.ceil((np.sqrt(2 * n * n) + 2) / 2) * 2)
+    img = jnp.asarray(rng.uniform(0, 1, (b, n, n)).astype(np.float32))
+    theta = np.linspace(0, np.pi, 23, endpoint=False)
+    t_pad = jnp.asarray(angle_table_fused(theta, n_det, n_det, n_det))
+    t_img = jnp.asarray(angle_table_fused(theta, n, n, n_det))
+
+    ref, vjp_ref = jax.vjp(
+        lambda im: radon_pallas_fused(pad_phantom(im, n_det), t_pad, n_det, True), img
+    )
+    out, vjp_out = jax.vjp(lambda im: radon_pallas_fused(im, t_img, n_det, True), img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-4)
+    g = jnp.asarray(rng.normal(size=np.asarray(ref).shape).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(vjp_out(g)[0]), np.asarray(vjp_ref(g)[0]), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_angle_tables_degenerate_angles_are_masked_safely():
     """theta = 0 and pi/2 are exactly axis-aligned; the wrong-group table rows
     must contribute exactly zero with no inf/NaN leakage."""
