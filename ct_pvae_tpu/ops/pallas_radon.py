@@ -323,7 +323,9 @@ def backproject_pallas(
 # masked to zero weight and a far-away offset; project with BOTH kernels and
 # add.  Wrong-group rows contribute exactly zero, so the sum equals the
 # grouped projection at 2x kernel cost (still ~40x faster than the XLA gather
-# path on TPU).
+# path on TPU).  Kept as the reference implementation; the production path is
+# radon_pallas_fused below, which removes the 2x by selecting the row source
+# per angle inside ONE kernel.
 # ---------------------------------------------------------------------------
 
 

@@ -239,8 +239,8 @@ class Trainer:
         tx = self.tx
         pnm_anneal_factor = self.pnm_anneal_factor
 
-        # Projector for the physics likelihood: the Pallas MXU kernel (masked
-        # dual-table form supports traced angle subsets).  On a mesh the
+        # Projector for the physics likelihood: the Pallas MXU kernel (fused
+        # dual-axis form supports traced angle subsets).  On a mesh the
         # kernel runs per-shard under shard_map: batch sharded on 'data',
         # angle subset sharded on 'angle' (the log-likelihood reduction over
         # the sharded axes becomes an XLA psum at the loss).  The XLA gather
