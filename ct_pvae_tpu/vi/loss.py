@@ -170,24 +170,39 @@ def elbo_loss(
         # posterior mean is an eval-path output; in training it would be
         # unused compute in every step (the jitted step returns aux whole)
         recon_mean = recon if training else out_dist.mean()[..., 0]
-        bound_proj = None if project_fn is None else (lambda r: project_fn(r, angles_i))
-        lp_M_given_R = physics_log_likelihood(
-            recon, mask_sub, proj_sub, theta_sub, pnm, pad, n_det,
-            project_fn=bound_proj,
-        )
-        # Reference sums BOTH terms over all axes including batch (:305-311).
-        lp_phys = jnp.sum(lp_M_given_R)
         lp_self = jnp.sum(lp_R_given_z)
-        return lp_phys + lp_self, (lp_phys, lp_self, recon, (out_loc, out_scale), recon_mean)
+        return lp_self, recon, (out_loc, out_scale), recon_mean
 
     sample_keys = jax.random.split(key, num_samples)
-    lps, auxs = jax.vmap(one_sample)(sample_keys)
+    lp_selfs, recons, out_params, recon_means = jax.vmap(one_sample)(sample_keys)
+
+    # Physics likelihood OUTSIDE the sample vmap, on the (S*B) merged batch:
+    # one projector call instead of S vmapped ones.  vmap of the Pallas
+    # projector prepends a grid dimension (S kernel instances of batch B,
+    # each regenerating every per-(angle, row) weight tile); merging runs ONE
+    # instance at batch S*B — same per-row math, half the weight-tile VPU
+    # work and better MXU row utilization at paper shapes (B=10 pads to 16,
+    # S*B=20 to 24).  Per-sample results are bitwise identical: kernel rows
+    # are independent across the batch dimension.
+    s, b = recons.shape[0], recons.shape[1]
+    merged = recons.reshape((s * b,) + recons.shape[2:])
+    bound_proj = None if project_fn is None else (lambda r: project_fn(r, angles_i))
+    lp_M_given_R = physics_log_likelihood(
+        merged,
+        jnp.tile(mask_sub, (s, 1)),
+        jnp.tile(proj_sub, (s, 1, 1)),
+        theta_sub, pnm, pad, n_det,
+        project_fn=bound_proj,
+    )
+    # Reference sums BOTH terms over all axes including batch (:305-311).
+    lp_physs = jnp.sum(lp_M_given_R.reshape((s, b) + lp_M_given_R.shape[1:]), axis=(1, 2, 3))
+    lps = lp_physs + lp_selfs
     loglik = jnp.mean(lps)
-    lp_phys_last = auxs[0][-1]
-    lp_self_last = auxs[1][-1]
-    recon_last = auxs[2][-1]
-    recon_params = (auxs[3][0][-1], auxs[3][1][-1])
-    recon_mean = jnp.mean(auxs[4], axis=0)  # E over ELBO samples of E[R|z]
+    lp_phys_last = lp_physs[-1]
+    lp_self_last = lp_selfs[-1]
+    recon_last = recons[-1]
+    recon_params = (out_params[0][-1], out_params[1][-1])
+    recon_mean = jnp.mean(recon_means, axis=0)  # E over ELBO samples of E[R|z]
 
     if deterministic:
         kl = jnp.zeros((input_encode.shape[0],), jnp.float32)
