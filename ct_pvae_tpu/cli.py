@@ -214,6 +214,52 @@ def cmd_merit(argv) -> int:
     return 0
 
 
+def cmd_infer(argv) -> int:
+    """Amortized inference: reconstruct NEW sinograms with a trained run.
+
+    The serving path the reference lacks (its final_evaluation only rescores
+    the training set, main_ct_vae.py:427-461): loads ``run_path/config.json``
+    + checkpoint, runs the measurement model + init stack + amortized guide
+    on fresh data, and writes posterior mean / std / sample maps."""
+    p = argparse.ArgumentParser(prog="infer", description=cmd_infer.__doc__)
+    p.add_argument("--run_path", required=True,
+                   help="trained run dir (config.json + training_checkpoints/)")
+    p.add_argument("--input_path", default=None,
+                   help="dataset dir of NEW sinograms (default: the run's)")
+    p.add_argument("--output", required=True, dest="output_path",
+                   help="output dir for reconstruction artifacts")
+    p.add_argument("--passes", type=int, default=8,
+                   help="independent latent draws for the uncertainty map")
+    p.add_argument("-r", type=int, dest="ckpt_num", default=None,
+                   help="checkpoint number (default: latest)")
+    p.add_argument("--real", action="store_true",
+                   help="measured data: skip synthetic masking noise")
+    p.add_argument("--pnm", type=float, default=None,
+                   help="override the measurement dose (Poisson multiplier)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    from .vi.infer import amortized_infer
+
+    overrides = {}
+    if args.real:
+        overrides["real_data"] = True
+    if args.pnm is not None:
+        overrides["poisson_noise_multiplier"] = args.pnm
+        overrides["pnm_start"] = None
+    out = amortized_infer(
+        args.run_path,
+        args.output_path,
+        input_path=args.input_path,
+        num_passes=args.passes,
+        ckpt_num=args.ckpt_num,
+        overrides=overrides,
+        seed=args.seed,
+    )
+    print(f"reconstructed {out['mean'].shape[0]} examples -> {args.output_path}")
+    print(f"mean ELBO loss: {float(np.mean(out['loss'])):.6g}")
+    return 0
+
+
 def cmd_mcmc(argv) -> int:
     p = argparse.ArgumentParser(prog="mcmc")
     p.add_argument("--save_path", required=True, help="path of the VAE run (masks live there)")
@@ -552,6 +598,7 @@ COMMANDS = {
     "make-data": cmd_make_data,
     "train": cmd_train,
     "merit": cmd_merit,
+    "infer": cmd_infer,
     "mcmc": cmd_mcmc,
     "visualize": cmd_visualize,
     "visualize-dataset": cmd_visualize_dataset,

@@ -105,6 +105,10 @@ class Trainer:
 
         if cfg.save_path:
             os.makedirs(cfg.save_path, exist_ok=True)
+            if cfg.train and is_primary():
+                # persist the full config with the run so eval/infer tooling
+                # can rebuild the exact model without re-specifying flags
+                cfg.save(os.path.join(cfg.save_path, "config.json"))
 
         # masks + noisy measurements (ref L2).  Multi-host: every host reads
         # caches, but only host 0 writes them (the np.save calls inside are
@@ -622,8 +626,21 @@ class Trainer:
             f.write(serialization.to_bytes(self.state))
         return path
 
-    def restore(self, restore_num: Optional[int] = None, use_latest: bool = False) -> None:
-        ckpt_dir = os.path.join(self.cfg.save_path, "training_checkpoints")
+    def restore(
+        self,
+        restore_num: Optional[int] = None,
+        use_latest: bool = False,
+        ckpt_dir: Optional[str] = None,
+    ) -> None:
+        """Load params/opt/anneal state from a checkpoint.
+
+        ``ckpt_dir`` overrides the run directory the checkpoint is read from
+        (default: this trainer's own save_path) — the amortized-inference path
+        restores a TRAINED run's weights while writing its outputs elsewhere.
+        """
+        if ckpt_dir is None:
+            ckpt_dir = self.cfg.save_path
+        ckpt_dir = os.path.join(ckpt_dir, "training_checkpoints")
         if use_latest or restore_num is None:
             cands = sorted(
                 (f for f in os.listdir(ckpt_dir) if f.startswith("ckpt-")),

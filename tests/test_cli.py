@@ -38,6 +38,42 @@ def test_make_data_and_train_toy(tmp_path, monkeypatch):
     assert rec.shape == (16, 2, 2, 1)
 
 
+def test_infer_new_data(tmp_path, monkeypatch):
+    """Serving path: train a toy run, then reconstruct a FRESH dataset with
+    `infer` — new masks/noise/init generated in the output dir, weights
+    restored from the run, all N examples covered (N not a batch multiple),
+    uncertainty map finite and nonnegative."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["make-data", "--img-type", "toy", "-n", "16"]) == 0
+    assert main([
+        "train", "--input_path", "dataset_toy_discrete2", "--save_path", "run",
+        "-b", "4", "--td", "16", "-i", "2", "--train", "--nsa", "1",
+        "--ik", "2", "--il", "1", "--ks", "2", "--nb", "2", "--api", "2",
+        "--se", "1", "--no_pad", "--ns", "1", "--normal", "--toy_masks",
+        "--pnm", "1000",
+    ]) == 0
+    assert os.path.exists("run/config.json")
+
+    # fresh measurements: a second toy dataset, 6 examples (not % batch 4)
+    assert main(["make-data", "--img-type", "toy", "-n", "8",
+                 "--save-path", "dataset_new"]) == 0
+    sinos = np.load("dataset_new/x_train_sinograms.npy")[:6]
+    np.save("dataset_new/x_train_sinograms.npy", sinos)
+
+    assert main(["infer", "--run_path", "run", "--input_path", "dataset_new",
+                 "--output", "out", "--passes", "2"]) == 0
+    mean = np.load("out/reconstruction_mean.npy")
+    std = np.load("out/reconstruction_std.npy")
+    samp = np.load("out/reconstruction_sample.npy")
+    assert mean.shape == std.shape == samp.shape == (6, 2, 2, 1)
+    assert np.isfinite(mean).all() and np.isfinite(std).all()
+    assert (std >= 0).all()
+    # new-data measurement artifacts were generated in the OUTPUT dir and the
+    # run's own artifacts were not overwritten
+    assert np.load("out/all_masks.npy").shape[0] == 6
+    assert np.load("run/all_masks.npy").shape[0] == 16
+
+
 def test_sweep_config_validation(tmp_path):
     cfg = tmp_path / "bad.yaml"
     cfg.write_text("base:\n  num_iter: 1\n")
