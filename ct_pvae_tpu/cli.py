@@ -95,6 +95,10 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--spc", type=int, dest="steps_per_call", default=8,
       help="train steps fused per device call (lax.scan); 1 = step-per-dispatch")
     a("--compute_dtype", dest="compute_dtype", default="float32")
+    a("--conv_precision", dest="conv_precision", default=None,
+      choices=["default", "high", "highest"],
+      help="MXU pass count for conv matmuls (storage stays compute_dtype); "
+      "'default' = one bf16 pass, unset = XLA's f32-accurate multi-pass")
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")
 
 

@@ -110,6 +110,21 @@ class Config:
     # float32 for quality runs; bf16 remains available for throughput
     # experiments.
     compute_dtype: str = "float32"
+    # MXU pass count for the conv matmuls, ORTHOGONAL to compute_dtype: f32
+    # convolutions on TPU execute as multi-pass bf16 products (bf16x3 and
+    # higher reassemble f32-accurate results from bf16 partials), so storage
+    # and matmul precision are separate dials.  "default" = one bf16 pass
+    # (full MXU rate) while params/activations stay float32 — unlike
+    # compute_dtype=bfloat16 it does NOT round activations between layers.
+    # None/"" keeps the XLA default (f32-accurate, ~3x the matmul passes).
+    # Measured: at the paper-config shapes the knob is throughput-neutral
+    # (37.7 vs 37.8 steps/s full loop — the Pallas projector dominates and
+    # the maxout-fused convs are dispatch-bound, not FLOP-bound); it matters
+    # for conv-dominated variants (larger nfm/nb).  Quality context from the
+    # scripts/bf16_quality.sh family (20k-iter foam quick A/B): bf16
+    # *storage* costs ~-1.3 dB PSNR, while one-pass matmuls on f32 storage
+    # leave activations unrounded between layers.
+    conv_precision: Optional[str] = None      # None | "default" | "high" | "highest"
     buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
     # metrics flush block: per-step loss/kl/loglik stay on device and cross
     # to host as ONE stacked array every N steps (all steps still logged)

@@ -81,6 +81,10 @@ class ConvBlock(nn.Module):
     dropout: float = 0.0
     norm: Optional[str] = None  # None | "instance" (ref models.py:336-340)
     dtype: jnp.dtype = jnp.float32
+    # MXU pass count for the conv contraction (None = XLA default).  f32
+    # convs lower to multi-pass bf16 products on TPU; "default" keeps f32
+    # storage but runs ONE bf16 pass — see Config.conv_precision.
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Array:
@@ -123,15 +127,18 @@ class ConvBlock(nn.Module):
             ).astype(self.dtype)
             bias = jnp.concatenate([p1["bias"], p2["bias"]]).astype(self.dtype)
             xp = xp.astype(self.dtype)
+            prec = None if self.precision is None else jax.lax.Precision[self.precision.upper()]
             if self.transpose:
                 y = jax.lax.conv_transpose(
                     xp, kern, s, padding="SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=prec,
                 )
             else:
                 y = jax.lax.conv_general_dilated(
                     xp, kern, s, padding="VALID",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=prec,
                 )
             y = y + bias
             x1, x2 = jnp.split(y, 2, axis=-1)
@@ -156,6 +163,7 @@ class Encoder(nn.Module):
     feature_maps_multiplier: int = 2
     norm: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> List[Array]:
@@ -168,10 +176,12 @@ class Encoder(nn.Module):
                 x = ConvBlock(
                     x.shape[-1], self.intermediate_kernel, 1,
                     dropout=self.dropout, norm=self.norm, dtype=self.dtype,
+                    precision=self.precision,
                 )(x, training=training)
             x = ConvBlock(
                 self.feature_maps[i], self.kernel, self.stride,
                 dropout=self.dropout, norm=self.norm, dtype=self.dtype,
+                precision=self.precision,
             )(x, training=training)
             skips.append(x)
         # float32 at the interface: skips parameterize distributions
@@ -190,6 +200,7 @@ class Decoder(nn.Module):
     dropout: float = 0.0
     norm: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, latents: Sequence[Array], *, training: bool = False) -> Tuple[Array, Array]:
@@ -200,11 +211,13 @@ class Decoder(nn.Module):
             x = ConvBlock(
                 target_z, self.kernel, self.stride, transpose=True,
                 dropout=self.dropout, norm=self.norm, dtype=self.dtype,
+                precision=self.precision,
             )(x, training=training)
             for _ in range(self.intermediate_layers):
                 x = ConvBlock(
                     x.shape[-1], self.intermediate_kernel, 1,
                     dropout=self.dropout, norm=self.norm, dtype=self.dtype,
+                    precision=self.precision,
                 )(x, training=training)
             # center-crop to the skip's spatial dims (reference models.py:181-191)
             rx = x.shape[1] - target_x
@@ -246,6 +259,11 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
     fmm = cfg.feature_maps_multiplier
     feats = [f * fmm for f in cfg.feature_map_counts()]
     dtype = jnp.dtype(getattr(cfg, "compute_dtype", "float32"))
+    prec = getattr(cfg, "conv_precision", None) or None
+    if prec is not None and prec not in ("default", "high", "highest"):
+        raise ValueError(
+            f"conv_precision={prec!r}: use None, 'default', 'high', or 'highest'"
+        )
     enc = Encoder(
         num_blocks=cfg.num_blocks,
         feature_maps=feats,
@@ -257,6 +275,7 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         feature_maps_multiplier=fmm,
         norm=getattr(cfg, "norm_type", None) or None,
         dtype=dtype,
+        precision=prec,
     )
     shapes = latent_shapes(x_size, y_size, in_channels, cfg)
     dec = Decoder(
@@ -269,5 +288,6 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         dropout=cfg.dropout_prob,
         norm=getattr(cfg, "norm_type", None) or None,
         dtype=dtype,
+        precision=prec,
     )
     return enc, dec, shapes

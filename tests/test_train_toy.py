@@ -140,6 +140,38 @@ def test_toy_trainer_roll_augment(tmp_path_factory, toy_data):
     assert np.isfinite(tr.metrics.history["loss"]).all()
 
 
+def test_toy_trainer_conv_precision(tmp_path_factory, toy_data):
+    """--conv_precision default: one-pass bf16 MXU matmuls with f32 storage.
+
+    On CPU the precision hint is a no-op numerically, so this validates the
+    plumbing (config -> build_models -> lax conv precision arg), checkpoint-
+    compatible param tree, and that a bad value fails loudly."""
+    images, sinos, theta = toy_data
+    cfg = toy_config(
+        truncate_dataset=16, num_iter=3, num_samples=1,
+        save_path=str(tmp_path_factory.mktemp("toy_prec")), train=True,
+        conv_precision="default", intermediate_layers=1, num_blocks=2,
+        pnm_start=None, poisson_noise_multiplier=1e3,
+    )
+    tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
+    tr.train()
+    assert np.isfinite(tr.metrics.history["loss"]).all()
+
+    # same param tree as the default-precision model (checkpoints interchange)
+    cfg0 = cfg.replace(conv_precision=None, train=False)
+    tr0 = Trainer(cfg0, sinograms=sinos[:16], theta=theta)
+    paths = lambda t: [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(t.state.params)
+    ]
+    assert paths(tr) == paths(tr0)
+
+    from ct_pvae_tpu.models.pvae import build_models
+
+    with pytest.raises(ValueError, match="conv_precision"):
+        build_models(4, 4, 2, cfg.replace(conv_precision="bf16"))
+
+
 def test_steps_per_call_equivalence(tmp_path_factory, toy_data):
     """Multi-step scan fusion trains identically to step-per-dispatch: the
     chunked loop replays the same PRNG/index sequence, respects save
