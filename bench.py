@@ -48,8 +48,9 @@ def main() -> None:
         train=True,
         num_iter=timed_iters,
         save_path=None,
-        compute_dtype="float32",   # quality-run dtype; bf16 convs train poorly
-                                   # and buy ~no speed (projector dominates)
+        compute_dtype="float32",   # quality-run dtype; bf16 storage trains
+                                   # poorly and buys ~no speed (convs already
+                                   # run one-pass bf16 MXU products, BENCH.md)
     )
     n_pixel = 128
     rng = np.random.default_rng(0)

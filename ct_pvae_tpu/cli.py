@@ -98,7 +98,8 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
     a("--conv_precision", dest="conv_precision", default=None,
       choices=["default", "high", "highest"],
       help="MXU pass count for conv matmuls (storage stays compute_dtype); "
-      "'default' = one bf16 pass, unset = XLA's f32-accurate multi-pass")
+      "unset == 'default' == one bf16 pass; 'high'/'highest' = f32-accurate "
+      "bf16x3/x6 multi-pass for precision experiments")
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")
 
 

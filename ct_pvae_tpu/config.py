@@ -102,28 +102,28 @@ class Config:
     multihost: bool = False                   # --multihost
     # Where compute happens: "auto" uses the default backend.
     use_pallas: bool = True                   # use Pallas projector kernels on TPU
-    # Conv-stack compute dtype; "bfloat16" targets the TPU MXU at full rate
+    # Conv-stack compute dtype; "bfloat16" stores activations in bf16
     # (params stay float32; distribution math stays float32).  NOTE: measured
-    # on the foam task, bf16 convs break ELBO training quality (A/B at 6k
-    # iters: SSIM 0.195 f32 vs 0.011 bf16) while buying almost no speed — the
-    # Pallas projector, which always runs f32, dominates the step.  Keep
-    # float32 for quality runs; bf16 remains available for throughput
-    # experiments.
+    # on the foam task, bf16 *storage* breaks ELBO training quality (A/B at
+    # 6k iters: SSIM 0.195 f32 vs 0.011 bf16) while buying almost no speed —
+    # the conv matmuls already run one-pass bf16 MXU products under f32
+    # storage (see conv_precision below), so bf16 storage only shrinks the
+    # elementwise/copy traffic.  Keep float32 for quality runs; bf16 remains
+    # available for throughput experiments.
     compute_dtype: str = "float32"
     # MXU pass count for the conv matmuls, ORTHOGONAL to compute_dtype: f32
-    # convolutions on TPU execute as multi-pass bf16 products (bf16x3 and
-    # higher reassemble f32-accurate results from bf16 partials), so storage
-    # and matmul precision are separate dials.  "default" = one bf16 pass
-    # (full MXU rate) while params/activations stay float32 — unlike
-    # compute_dtype=bfloat16 it does NOT round activations between layers.
-    # None/"" keeps the XLA default (f32-accurate, ~3x the matmul passes).
-    # Measured: at the paper-config shapes the knob is throughput-neutral
-    # (37.7 vs 37.8 steps/s full loop — the Pallas projector dominates and
-    # the maxout-fused convs are dispatch-bound, not FLOP-bound); it matters
-    # for conv-dominated variants (larger nfm/nb).  Quality context from the
-    # scripts/bf16_quality.sh family (20k-iter foam quick A/B): bf16
-    # *storage* costs ~-1.3 dB PSNR, while one-pass matmuls on f32 storage
-    # leave activations unrounded between layers.
+    # convolutions on TPU execute as bf16 MXU products (with f32 accumulate),
+    # so storage and matmul precision are separate dials.  JAX's None already
+    # lowers to Precision.DEFAULT = ONE bf16 pass (confirmed in the xplane
+    # trace: conv fusions consume bf16-converted activations with this field
+    # unset, and an A/B measured None == "default" at 37.7 vs 37.8 steps/s).
+    # The useful directions are therefore "high"/"highest": multi-pass
+    # bf16x3/bf16x6 products that reassemble f32-accurate results for
+    # precision experiments, at ~3x/6x the matmul passes.  Quality context
+    # (scripts/bf16_quality.sh family, 20k-iter foam quick A/B): bf16
+    # *storage* (compute_dtype=bfloat16) costs ~-1.3 dB PSNR; the default
+    # one-pass matmuls on f32 storage — what every headline run used — do
+    # not, because activations stay unrounded between layers.
     conv_precision: Optional[str] = None      # None | "default" | "high" | "highest"
     buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
     # metrics flush block: per-step loss/kl/loglik stay on device and cross

@@ -81,9 +81,9 @@ class ConvBlock(nn.Module):
     dropout: float = 0.0
     norm: Optional[str] = None  # None | "instance" (ref models.py:336-340)
     dtype: jnp.dtype = jnp.float32
-    # MXU pass count for the conv contraction (None = XLA default).  f32
-    # convs lower to multi-pass bf16 products on TPU; "default" keeps f32
-    # storage but runs ONE bf16 pass — see Config.conv_precision.
+    # MXU pass count for the conv contraction.  None == Precision.DEFAULT ==
+    # one bf16 pass with f32 accumulate (measured equal); "high"/"highest"
+    # buy bf16x3/x6 f32-accurate products — see Config.conv_precision.
     precision: Optional[str] = None
 
     @nn.compact
