@@ -100,6 +100,11 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
       help="MXU pass count for conv matmuls (storage stays compute_dtype); "
       "unset == 'default' == one bf16 pass; 'high'/'highest' = f32-accurate "
       "bf16x3/x6 multi-pass for precision experiments")
+    a("--conv_layout", dest="conv_layout", default="NHWC",
+      choices=["NHWC", "NCHW"],
+      help="conv-chain device layout; NCHW puts image W on the TPU lane "
+      "dim (identical numerics, faster elementwise/pad/copy traffic at "
+      "this model's small channel counts)")
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")
 
 

@@ -125,6 +125,13 @@ class Config:
     # one-pass matmuls on f32 storage — what every headline run used — do
     # not, because activations stay unrounded between layers.
     conv_precision: Optional[str] = None      # None | "default" | "high" | "highest"
+    # Conv-chain device layout.  "NHWC" matches the reference; "NCHW" puts
+    # the image W axis (128 px) on the TPU's 128-wide lane dimension instead
+    # of the 10-20 channel axis, so pads / maxout epilogues / layout copies —
+    # 49% of step device time under NHWC (BENCH.md trace) — run at full lane
+    # occupancy.  Numerics are identical (same convolution, same params;
+    # transposes sit at block boundaries and cancel).
+    conv_layout: str = "NHWC"                 # "NHWC" | "NCHW"
     buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
     # metrics flush block: per-step loss/kl/loglik stay on device and cross
     # to host as ONE stacked array every N steps (all steps still logged)

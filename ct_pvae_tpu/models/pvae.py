@@ -85,6 +85,13 @@ class ConvBlock(nn.Module):
     # one bf16 pass with f32 accumulate (measured equal); "high"/"highest"
     # buy bf16x3/x6 f32-accurate products — see Config.conv_precision.
     precision: Optional[str] = None
+    # Device data layout for the conv chain.  "NHWC" (default) puts the
+    # 10-20 channel maps on the TPU's 128-wide lane (minor) dimension —
+    # <16% lane fill for every elementwise op, pad, and layout copy in this
+    # model (measured 49% of step device time, BENCH.md).  "NCHW" puts the
+    # 128-pixel W axis in lanes instead; module interfaces stay NHWC (the
+    # transposes sit at block boundaries where XLA cancels adjacent pairs).
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Array:
@@ -114,8 +121,10 @@ class ConvBlock(nn.Module):
         else:
             px = _shrink_pad(x.shape[1], self.stride, self.kernel)
             py = _shrink_pad(x.shape[2], self.stride, self.kernel)
-            xp = _periodic_pad(x, px, py)
+            xp = None if self.layout == "NCHW" else _periodic_pad(x, px, py)
         if self.is_initializing():
+            if xp is None:
+                xp = _periodic_pad(x, px, py)
             x1 = c1(xp)
             x2 = c2(xp)
             out = jnp.maximum(x1, x2)
@@ -126,23 +135,44 @@ class ConvBlock(nn.Module):
                 [p1["kernel"], p2["kernel"]], axis=-1
             ).astype(self.dtype)
             bias = jnp.concatenate([p1["bias"], p2["bias"]]).astype(self.dtype)
-            xp = xp.astype(self.dtype)
             prec = None if self.precision is None else jax.lax.Precision[self.precision.upper()]
-            if self.transpose:
-                y = jax.lax.conv_transpose(
-                    xp, kern, s, padding="SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    precision=prec,
-                )
+            if self.layout == "NCHW":
+                # channel-major: W rides the 128-lane minor dim for the pad,
+                # bias, and maxout ops; NHWC only at the block boundary
+                xt = jnp.transpose(x.astype(self.dtype), (0, 3, 1, 2))
+                if self.transpose:
+                    y = jax.lax.conv_transpose(
+                        xt, kern, s, padding="SAME",
+                        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                        precision=prec,
+                    )
+                else:
+                    xt = jnp.pad(xt, ((0, 0), (0, 0), px, py), mode="wrap")
+                    y = jax.lax.conv_general_dilated(
+                        xt, kern, s, padding="VALID",
+                        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                        precision=prec,
+                    )
+                y = y + bias[None, :, None, None]
+                x1, x2 = jnp.split(y, 2, axis=1)
+                out = jnp.transpose(jnp.maximum(x1, x2), (0, 2, 3, 1))
             else:
-                y = jax.lax.conv_general_dilated(
-                    xp, kern, s, padding="VALID",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    precision=prec,
-                )
-            y = y + bias
-            x1, x2 = jnp.split(y, 2, axis=-1)
-            out = jnp.maximum(x1, x2)
+                xp = xp.astype(self.dtype) if xp is not None else None
+                if self.transpose:
+                    y = jax.lax.conv_transpose(
+                        x.astype(self.dtype), kern, s, padding="SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        precision=prec,
+                    )
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        xp, kern, s, padding="VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        precision=prec,
+                    )
+                y = y + bias
+                x1, x2 = jnp.split(y, 2, axis=-1)
+                out = jnp.maximum(x1, x2)
         if self.norm == "instance":
             out = InstanceNorm()(out.astype(jnp.float32)).astype(out.dtype)
         elif self.norm is not None:
@@ -164,6 +194,7 @@ class Encoder(nn.Module):
     norm: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     precision: Optional[str] = None
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> List[Array]:
@@ -176,12 +207,12 @@ class Encoder(nn.Module):
                 x = ConvBlock(
                     x.shape[-1], self.intermediate_kernel, 1,
                     dropout=self.dropout, norm=self.norm, dtype=self.dtype,
-                    precision=self.precision,
+                    precision=self.precision, layout=self.layout,
                 )(x, training=training)
             x = ConvBlock(
                 self.feature_maps[i], self.kernel, self.stride,
                 dropout=self.dropout, norm=self.norm, dtype=self.dtype,
-                precision=self.precision,
+                precision=self.precision, layout=self.layout,
             )(x, training=training)
             skips.append(x)
         # float32 at the interface: skips parameterize distributions
@@ -201,6 +232,7 @@ class Decoder(nn.Module):
     norm: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     precision: Optional[str] = None
+    layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, latents: Sequence[Array], *, training: bool = False) -> Tuple[Array, Array]:
@@ -211,13 +243,13 @@ class Decoder(nn.Module):
             x = ConvBlock(
                 target_z, self.kernel, self.stride, transpose=True,
                 dropout=self.dropout, norm=self.norm, dtype=self.dtype,
-                precision=self.precision,
+                precision=self.precision, layout=self.layout,
             )(x, training=training)
             for _ in range(self.intermediate_layers):
                 x = ConvBlock(
                     x.shape[-1], self.intermediate_kernel, 1,
                     dropout=self.dropout, norm=self.norm, dtype=self.dtype,
-                    precision=self.precision,
+                    precision=self.precision, layout=self.layout,
                 )(x, training=training)
             # center-crop to the skip's spatial dims (reference models.py:181-191)
             rx = x.shape[1] - target_x
@@ -264,6 +296,9 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         raise ValueError(
             f"conv_precision={prec!r}: use None, 'default', 'high', or 'highest'"
         )
+    layout = getattr(cfg, "conv_layout", None) or "NHWC"
+    if layout not in ("NHWC", "NCHW"):
+        raise ValueError(f"conv_layout={layout!r}: use 'NHWC' or 'NCHW'")
     enc = Encoder(
         num_blocks=cfg.num_blocks,
         feature_maps=feats,
@@ -276,6 +311,7 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         norm=getattr(cfg, "norm_type", None) or None,
         dtype=dtype,
         precision=prec,
+        layout=layout,
     )
     shapes = latent_shapes(x_size, y_size, in_channels, cfg)
     dec = Decoder(
@@ -289,5 +325,6 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         norm=getattr(cfg, "norm_type", None) or None,
         dtype=dtype,
         precision=prec,
+        layout=layout,
     )
     return enc, dec, shapes

@@ -172,6 +172,48 @@ def test_toy_trainer_conv_precision(tmp_path_factory, toy_data):
         build_models(4, 4, 2, cfg.replace(conv_precision="bf16"))
 
 
+def test_conv_layout_nchw_equivalence(tmp_path_factory, toy_data):
+    """--conv_layout NCHW (W on the TPU lane dim) is numerically the same
+    network: identical param tree, allclose training losses step for step."""
+    import numpy as np_
+
+    images, sinos, theta = toy_data
+    outs = {}
+    for lay in ("NHWC", "NCHW"):
+        cfg = toy_config(
+            truncate_dataset=16, num_iter=5, num_samples=1,
+            save_path=str(tmp_path_factory.mktemp(f"toy_{lay}")), train=True,
+            conv_layout=lay, intermediate_layers=1, num_blocks=2,
+            pnm_start=None, poisson_noise_multiplier=1e3,
+        )
+        tr = Trainer(cfg, sinograms=sinos[:16], theta=theta)
+        tr.train()
+        outs[lay] = list(tr.metrics.history["loss"])
+    np_.testing.assert_allclose(outs["NHWC"], outs["NCHW"], rtol=1e-4, atol=1e-6)
+
+    from ct_pvae_tpu.models.pvae import build_models
+
+    # moderate foam-like shapes: strided + intermediate convs, both layouts
+    cfg = toy_config(conv_layout="NCHW")
+    enc, dec, shapes = build_models(30, 30, 3, cfg)
+    enc0, dec0, _ = build_models(30, 30, 3, cfg.replace(conv_layout="NHWC"))
+    x = np_.random.default_rng(0).normal(size=(2, 30, 30, 3)).astype(np_.float32)
+    params = enc.init({"params": jax.random.PRNGKey(0)}, jnp_zeros((2, 30, 30, 3)))["params"]
+    s1 = enc.apply({"params": params}, x)
+    s0 = enc0.apply({"params": params}, x)
+    for a, b in zip(s0, s1):
+        np_.testing.assert_allclose(np_.asarray(a), np_.asarray(b), rtol=2e-5, atol=2e-5)
+
+    with pytest.raises(ValueError, match="conv_layout"):
+        build_models(4, 4, 2, cfg.replace(conv_layout="CHWN"))
+
+
+def jnp_zeros(shape):
+    import jax.numpy as jnp
+
+    return jnp.zeros(shape)
+
+
 def test_steps_per_call_equivalence(tmp_path_factory, toy_data):
     """Multi-step scan fusion trains identically to step-per-dispatch: the
     chunked loop replays the same PRNG/index sequence, respects save
