@@ -125,12 +125,13 @@ class Config:
     # one-pass matmuls on f32 storage — what every headline run used — do
     # not, because activations stay unrounded between layers.
     conv_precision: Optional[str] = None      # None | "default" | "high" | "highest"
-    # Conv-chain device layout.  "NHWC" matches the reference; "NCHW" puts
-    # the image W axis (128 px) on the TPU's 128-wide lane dimension instead
-    # of the 10-20 channel axis, so pads / maxout epilogues / layout copies —
-    # 49% of step device time under NHWC (BENCH.md trace) — run at full lane
-    # occupancy.  Numerics are identical (same convolution, same params;
-    # transposes sit at block boundaries and cancel).
+    # Conv-chain logical layout.  "NCHW" was built to put the 128-px W axis
+    # on the TPU lane dim for the elementwise/pad/copy traffic (49% of step
+    # device time, BENCH.md trace).  Measured: throughput-NEUTRAL (37.5/37.9
+    # vs 37.7 steps/s paper loop) — XLA-TPU's layout assignment picks device
+    # layouts independently of the logical dimension order, so the copy
+    # churn in the trace is XLA's own choice, not addressable from here.
+    # Kept as an equivalence-tested option for other backends/shapes.
     conv_layout: str = "NHWC"                 # "NHWC" | "NCHW"
     buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
     # metrics flush block: per-step loss/kl/loglik stay on device and cross
