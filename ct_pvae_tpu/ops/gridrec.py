@@ -40,6 +40,7 @@ angle theta samples the spectrum along the unit vector (-sin theta, cos theta).
 from __future__ import annotations
 
 import math
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +77,45 @@ def _kb_apodization(x: np.ndarray, width: int, beta: float, m: int) -> np.ndarra
     return (2.0 * half / np.i0(beta)) * a
 
 
+def _spread_tables(
+    theta_np: np.ndarray, pg: int, m: int, oversample: int, kernel_width: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense per-angle spreading matrices ``(W_x, W_y)``, each (A, Pg, m).
+
+    ``W[a, k, j]`` is the separable KB weight with which polar sample
+    (angle a, frequency k) lands on lattice row/column j (taps wrapped mod
+    m exactly like the scatter path).  Host-side numpy: the tables depend
+    only on geometry, so the TPU sees them as ready data and the gridding
+    becomes per-angle matmuls on the MXU (``method="matmul"``) instead of a
+    serialized 16-tap scatter-add.
+    """
+    beta = _kb_beta(kernel_width, oversample)
+    half = kernel_width / 2.0
+    k = np.fft.fftfreq(pg) * pg
+
+    def kb_np(s: np.ndarray) -> np.ndarray:
+        x = 1.0 - (s / half) ** 2
+        val = np.i0(beta * np.sqrt(np.maximum(x, 0.0)))
+        return np.where(x >= 0.0, val / np.i0(beta), 0.0)
+
+    offs = np.arange(kernel_width) - (kernel_width // 2 - 1)
+
+    def table(g: np.ndarray) -> np.ndarray:
+        ix0 = np.floor(g).astype(np.int64)           # (A, Pg)
+        W = np.zeros((g.shape[0], pg, m), np.float32)
+        aa = np.arange(g.shape[0])[:, None]
+        kk = np.arange(pg)[None, :]
+        for d in offs:
+            w = kb_np((ix0 + d) - g).astype(np.float32)
+            j = np.mod(ix0 + d, m)
+            np.add.at(W, (aa, kk, j), w)
+        return W
+
+    gx = k[None, :] * (oversample * -np.sin(theta_np))[:, None]
+    gy = k[None, :] * (oversample * np.cos(theta_np))[:, None]
+    return table(gx), table(gy)
+
+
 def gridrec(
     sinogram: Array,
     theta: Array,
@@ -84,6 +124,7 @@ def gridrec(
     filter_name: str = "ramp",
     oversample: int = 2,
     kernel_width: int = 4,
+    method: str = "auto",
 ) -> Array:
     """Fourier-regridding reconstruction of ``sinogram`` (..., A, P).
 
@@ -91,6 +132,15 @@ def gridrec(
     angular density compensation (Voronoi cells on the half-circle) is built
     in, so nonuniform sparse-angle sets are handled like tomopy's regridder
     rather than with a uniform pi/A weight.
+
+    ``method``: "scatter" = the original 16-tap scatter-add spread;
+    "matmul" = the same spread as one (m, Pg) @ (Pg, m) MXU matmul per angle
+    under ``lax.scan`` using host-precomputed dense KB tables (requires a
+    CONCRETE ``theta`` — geometry known outside jit, as in the classical-init
+    and merit paths).  TPU scatter serializes per index, so the matmul form
+    trades ~kernel_width^2 x redundant FLOPs (free on an idle MXU) for the
+    scatter's serialization; both paths are tested equal.  "auto" picks
+    matmul when theta is concrete, else scatter.
 
     Returns: (..., x_size, y_size) real images.
     """
@@ -126,27 +176,64 @@ def gridrec(
     mass = spec * (dtheta[:, None] * (omega[None, :] * 0.5) / pg)
 
     # --- 2. spread onto the oversampled Cartesian lattice ---------------
-    # Sample position in lattice units (spacing 1/m cycles/pixel):
-    # nu = (k/pg) * (-sin t, cos t)  ->  g = k * osf * (-sin t, cos t).
-    gx = k[None, :] * (oversample * -jnp.sin(theta))[:, None]  # (A, Pg)
-    gy = k[None, :] * (oversample * jnp.cos(theta))[:, None]
-    ix0 = jnp.floor(gx).astype(jnp.int32)
-    iy0 = jnp.floor(gy).astype(jnp.int32)
+    if method == "auto":
+        # matmul needs concrete geometry and 2 dense (A, Pg, m) tables; cap
+        # the table footprint so stretch geometries don't surprise-allocate
+        table_mb = 2 * a * pg * m * 4 / 2**20
+        method = (
+            "scatter"
+            if isinstance(theta, jax.core.Tracer) or table_mb > 512
+            else "matmul"
+        )
+    if method == "matmul":
+        # grid_b = sum_a W_x[a]^T @ diag(mass_b[a]) @ W_y[a]: one MXU matmul
+        # chain per angle under lax.scan — no scatter (TPU scatters
+        # serialize per index; measured: the scatter spread dominated the
+        # whole reconstruction).  HIGHEST precision keeps the spread
+        # f32-accurate so both methods agree to fp tolerance.
+        wx_np, wy_np = _spread_tables(
+            np.asarray(theta, np.float64), pg, m, oversample, kernel_width
+        )
+        wx_t = jnp.asarray(wx_np)                             # (A, Pg, m)
+        wy_t = jnp.asarray(wy_np)
+        mass_r = jnp.transpose(jnp.real(mass), (1, 0, 2))     # (A, B, Pg)
+        mass_i = jnp.transpose(jnp.imag(mass), (1, 0, 2))
+        hi = jax.lax.Precision.HIGHEST
 
-    offs = jnp.arange(kernel_width, dtype=jnp.int32) - (kernel_width // 2 - 1)
-    grid = jnp.zeros((sino.shape[0], m, m), jnp.complex64)
-    flat_mass = mass.reshape(sino.shape[0], -1)               # (B, A*Pg)
-    fx = (ix0 - gx).reshape(-1)                               # (A*Pg,)
-    fy = (iy0 - gy).reshape(-1)
-    ix0f = ix0.reshape(-1)
-    iy0f = iy0.reshape(-1)
-    for dx in offs:
-        wx = _kb_kernel(fx + dx, kernel_width, beta)          # (A*Pg,)
-        jx = jnp.mod(ix0f + dx, m)
-        for dy in offs:
-            wy = _kb_kernel(fy + dy, kernel_width, beta)
-            jy = jnp.mod(iy0f + dy, m)
-            grid = grid.at[:, jx, jy].add(flat_mass * (wx * wy))
+        def body(grid_acc, inp):
+            wxa, wya, mr, mi = inp
+            mr_w = mr[:, :, None] * wya[None]                 # (B, Pg, m)
+            mi_w = mi[:, :, None] * wya[None]
+            gr = jnp.einsum("km,bkn->bmn", wxa, mr_w, precision=hi)
+            gi = jnp.einsum("km,bkn->bmn", wxa, mi_w, precision=hi)
+            return grid_acc + jax.lax.complex(gr, gi), None
+
+        grid0 = jnp.zeros((sino.shape[0], m, m), jnp.complex64)
+        grid, _ = jax.lax.scan(body, grid0, (wx_t, wy_t, mass_r, mass_i))
+    elif method == "scatter":
+        # Sample position in lattice units (spacing 1/m cycles/pixel):
+        # nu = (k/pg) * (-sin t, cos t)  ->  g = k * osf * (-sin t, cos t).
+        gx = k[None, :] * (oversample * -jnp.sin(theta))[:, None]  # (A, Pg)
+        gy = k[None, :] * (oversample * jnp.cos(theta))[:, None]
+        ix0 = jnp.floor(gx).astype(jnp.int32)
+        iy0 = jnp.floor(gy).astype(jnp.int32)
+
+        offs = jnp.arange(kernel_width, dtype=jnp.int32) - (kernel_width // 2 - 1)
+        grid = jnp.zeros((sino.shape[0], m, m), jnp.complex64)
+        flat_mass = mass.reshape(sino.shape[0], -1)           # (B, A*Pg)
+        fx = (ix0 - gx).reshape(-1)                           # (A*Pg,)
+        fy = (iy0 - gy).reshape(-1)
+        ix0f = ix0.reshape(-1)
+        iy0f = iy0.reshape(-1)
+        for dx in offs:
+            wx = _kb_kernel(fx + dx, kernel_width, beta)      # (A*Pg,)
+            jx = jnp.mod(ix0f + dx, m)
+            for dy in offs:
+                wy = _kb_kernel(fy + dy, kernel_width, beta)
+                jy = jnp.mod(iy0f + dy, m)
+                grid = grid.at[:, jx, jy].add(flat_mass * (wx * wy))
+    else:
+        raise ValueError(f"unknown method {method!r} (use 'auto'/'matmul'/'scatter')")
 
     # --- 3. inverse FFT, deapodize, crop --------------------------------
     # f(x-cx, y-cy) = sum_m G[m] exp(2 pi i ((x-cx) mx + (y-cy) my)/m):

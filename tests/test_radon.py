@@ -376,6 +376,29 @@ def test_gridrec_is_jittable():
     p = sino.shape[-1]
     f = jax.jit(lambda s, t: gridrec(s, t, p, p))
     out = f(sino, theta)
+    # traced theta dispatches auto -> scatter; eager concrete theta -> the
+    # matmul spread: same gridding to fp accumulation-order tolerance
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(gridrec(sino, theta, p, p)), rtol=1e-4, atol=1e-5
+        np.asarray(out), np.asarray(gridrec(sino, theta, p, p)), rtol=1e-4, atol=5e-5
     )
+
+
+def test_gridrec_matmul_equals_scatter():
+    """The MXU matmul spread (host KB tables + per-angle matmuls) computes
+    the same gridding as the scatter-add spread, uniform and nonuniform
+    angles; 'auto' picks scatter only when theta is traced."""
+    from ct_pvae_tpu.ops.gridrec import gridrec
+
+    rng = np.random.default_rng(0)
+    img = _phantom(16, batch=(2,))
+    for th in (
+        jnp.linspace(0, np.pi, 12, endpoint=False),
+        jnp.asarray(np.sort(rng.uniform(0, np.pi, 7)).astype(np.float32)),
+    ):
+        sino = radon(img, th, pad=True)
+        p = sino.shape[-1]
+        a = gridrec(sino, th, p, p, "ramp", method="scatter")
+        b = gridrec(sino, th, p, p, "ramp", method="matmul")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+    with pytest.raises(ValueError, match="method"):
+        gridrec(sino, th, p, p, "ramp", method="banana")
