@@ -105,6 +105,12 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
       help="conv-chain device layout; NCHW puts image W on the TPU lane "
       "dim (identical numerics, faster elementwise/pad/copy traffic at "
       "this model's small channel counts)")
+    a("--conv_impl", dest="conv_impl", default="direct",
+      choices=["direct", "subpixel"],
+      help="strided-conv algorithm; 'subpixel' = space-to-depth / "
+      "pixel-shuffle phase form (exact same math, s^2 x conv channels, "
+      "no lhs-dilated backward convs; measured throughput-neutral on "
+      "TPU v5e at the paper shapes — see BENCH.md)")
     a("--config", dest="config_file", default=None, help="YAML/JSON config file")
 
 

@@ -133,6 +133,16 @@ class Config:
     # churn in the trace is XLA's own choice, not addressable from here.
     # Kept as an equivalence-tested option for other backends/shapes.
     conv_layout: str = "NHWC"                 # "NHWC" | "NCHW"
+    # Strided-conv algorithm.  "subpixel" rewrites every stride-s conv with
+    # s | kernel as space-to-depth + a stride-1 conv over s^2x the channels,
+    # and every stride-s transpose conv as one stride-1 conv producing all
+    # s^2 output phases + depth-to-space (exact same math; equivalence-tested
+    # in tests/test_conv_impl.py).  Motivation: the model's 10-48 channel
+    # maps underfill the 128-wide MXU lane dim (BENCH.md trace) — the phase
+    # form multiplies conv channels by s^2 and, because the rewritten convs
+    # are stride-1, removes every lhs-dilated convolution from the backward
+    # pass.  Measured on the paper config: see BENCH.md (A/B row).
+    conv_impl: str = "direct"                 # "direct" | "subpixel"
     buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
     # metrics flush block: per-step loss/kl/loglik stay on device and cross
     # to host as ONE stacked array every N steps (all steps still logged)

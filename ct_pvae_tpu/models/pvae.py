@@ -50,6 +50,90 @@ def _shrink_pad(size: int, stride: int, kernel: int) -> Tuple[int, int]:
     return (pad // 2 + pad % 2, pad // 2)
 
 
+def _subpixel_strided(xp: Array, kern: Array, s: int, prec) -> Array:
+    """Stride-``s`` VALID conv as space-to-depth + a stride-1 conv.
+
+    Exact rewrite (requires ``s | kernel``): with m = k/s,
+
+        y[h,w,f] = sum_{dh,dw,c} xp[s*h+dh, s*w+dw, c] * kern[dh,dw,c,f]
+                 = sum_{i,j,(a,b,c)} z[h+i, w+j, (a,b,c)] * K2[i,j,(a,b,c),f]
+
+    where z folds each s x s spatial cell into channels and K2 regroups the
+    kernel taps (dh = s*i + a).  The rewritten conv has s^2 x the channels
+    (MXU lane fill) and stride 1, so its input gradient is a plain conv —
+    no lhs-dilated convolution in the backward pass.
+    """
+    b, hp, wp, c = xp.shape
+    k = kern.shape[0]
+    m = k // s
+    z = xp.reshape(b, hp // s, s, wp // s, s, c)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // s, wp // s, s * s * c)
+    k2 = kern.reshape(m, s, m, s, c, -1)
+    k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(m, m, s * s * c, -1)
+    return jax.lax.conv_general_dilated(
+        z, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,
+    )
+
+
+def _transpose_phase_taps(k: int, s: int):
+    """Tap table of lax.conv_transpose(..., 'SAME') phase decomposition.
+
+    lax.conv_transpose pads the s-dilated input (x[j] at position s*j) by
+    (pad_a, pad_b) per jax's _conv_transpose_padding, then runs a stride-1
+    VALID correlation: y[t] = sum_u xpad[t+u] k[u], where xpad[i] is x[j]
+    iff i = pad_a + s*j.  Output row t = s*h' + p therefore reads x[h'+d]
+    against kernel row q = pad_a - p + s*d for every integer d with q in
+    [0, k).  Returns (taps, d_lo, d_hi) with taps = [(p, d, q)].
+    """
+    pad_len = k + s - 2
+    pad_a = k - 1 if s > k - 1 else -(-pad_len // 2)
+    taps = []
+    for p in range(s):
+        for d in range(-k, k + 1):
+            q = pad_a - p + s * d
+            if 0 <= q < k:
+                taps.append((p, d, q))
+    d_lo = min(d for _, d, _ in taps)
+    d_hi = max(d for _, d, _ in taps)
+    return taps, d_lo, d_hi
+
+
+def _subpixel_conv_transpose(x: Array, kern: Array, s: int, prec) -> Array:
+    """Stride-``s`` SAME conv_transpose as one stride-1 conv + depth-to-space.
+
+    Each of the s^2 output phases is a stride-1 correlation of x with a
+    sub-kernel of ``kern`` (zero-filled where a phase has no tap); computing
+    all phases as one conv with s^2 x the output channels and interleaving
+    (pixel shuffle) is exact, fills MXU lanes, and keeps the backward pass
+    free of lhs-dilated convolutions.  Matches
+    ``lax.conv_transpose(x, kern, (s, s), 'SAME')`` bit-for-math
+    (tests/test_conv_impl.py).
+    """
+    b, h, w, c = x.shape
+    k, _, _, f2 = kern.shape
+    taps, d_lo, d_hi = _transpose_phase_taps(k, s)
+    wd = d_hi - d_lo + 1
+    k2 = jnp.zeros((wd, wd, c, s * s * f2), kern.dtype)
+    for (p, dh, qh) in taps:
+        for (q, dw, qw) in taps:
+            k2 = k2.at[
+                dh - d_lo, dw - d_lo, :,
+                (p * s + q) * f2 : (p * s + q + 1) * f2,
+            ].set(kern[qh, qw])
+    start = max(d_lo, 0)
+    lpad = max(0, -d_lo)
+    xx = x[:, start:, start:, :]
+    xx = jnp.pad(xx, ((0, 0), (lpad, d_hi), (lpad, d_hi), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xx, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec,
+    )
+    y = y.reshape(b, h, w, s, s, f2)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * s, w * s, f2)
+    return y
+
+
 class InstanceNorm(nn.Module):
     """Per-example, per-channel normalization with learned scale/offset.
 
@@ -92,6 +176,10 @@ class ConvBlock(nn.Module):
     # 128-pixel W axis in lanes instead; module interfaces stay NHWC (the
     # transposes sit at block boundaries where XLA cancels adjacent pairs).
     layout: str = "NHWC"
+    # "subpixel" rewrites stride>1 convs (space-to-depth / pixel-shuffle
+    # phase form — see _subpixel_strided/_subpixel_conv_transpose); NHWC
+    # only, stride-1 blocks and NCHW fall back to the direct path.
+    impl: str = "direct"
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> Array:
@@ -158,12 +246,24 @@ class ConvBlock(nn.Module):
                 out = jnp.transpose(jnp.maximum(x1, x2), (0, 2, 3, 1))
             else:
                 xp = xp.astype(self.dtype) if xp is not None else None
+                subpixel = (
+                    self.impl == "subpixel"
+                    and self.stride > 1
+                    and (self.transpose or self.kernel % self.stride == 0)
+                )
                 if self.transpose:
-                    y = jax.lax.conv_transpose(
-                        x.astype(self.dtype), kern, s, padding="SAME",
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                        precision=prec,
-                    )
+                    if subpixel:
+                        y = _subpixel_conv_transpose(
+                            x.astype(self.dtype), kern, self.stride, prec
+                        )
+                    else:
+                        y = jax.lax.conv_transpose(
+                            x.astype(self.dtype), kern, s, padding="SAME",
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                            precision=prec,
+                        )
+                elif subpixel:
+                    y = _subpixel_strided(xp, kern, self.stride, prec)
                 else:
                     y = jax.lax.conv_general_dilated(
                         xp, kern, s, padding="VALID",
@@ -195,6 +295,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: Optional[str] = None
     layout: str = "NHWC"
+    impl: str = "direct"
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool = False) -> List[Array]:
@@ -207,12 +308,12 @@ class Encoder(nn.Module):
                 x = ConvBlock(
                     x.shape[-1], self.intermediate_kernel, 1,
                     dropout=self.dropout, norm=self.norm, dtype=self.dtype,
-                    precision=self.precision, layout=self.layout,
+                    precision=self.precision, layout=self.layout, impl=self.impl,
                 )(x, training=training)
             x = ConvBlock(
                 self.feature_maps[i], self.kernel, self.stride,
                 dropout=self.dropout, norm=self.norm, dtype=self.dtype,
-                precision=self.precision, layout=self.layout,
+                precision=self.precision, layout=self.layout, impl=self.impl,
             )(x, training=training)
             skips.append(x)
         # float32 at the interface: skips parameterize distributions
@@ -233,6 +334,7 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: Optional[str] = None
     layout: str = "NHWC"
+    impl: str = "direct"
 
     @nn.compact
     def __call__(self, latents: Sequence[Array], *, training: bool = False) -> Tuple[Array, Array]:
@@ -243,13 +345,13 @@ class Decoder(nn.Module):
             x = ConvBlock(
                 target_z, self.kernel, self.stride, transpose=True,
                 dropout=self.dropout, norm=self.norm, dtype=self.dtype,
-                precision=self.precision, layout=self.layout,
+                precision=self.precision, layout=self.layout, impl=self.impl,
             )(x, training=training)
             for _ in range(self.intermediate_layers):
                 x = ConvBlock(
                     x.shape[-1], self.intermediate_kernel, 1,
                     dropout=self.dropout, norm=self.norm, dtype=self.dtype,
-                    precision=self.precision, layout=self.layout,
+                    precision=self.precision, layout=self.layout, impl=self.impl,
                 )(x, training=training)
             # center-crop to the skip's spatial dims (reference models.py:181-191)
             rx = x.shape[1] - target_x
@@ -299,6 +401,9 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
     layout = getattr(cfg, "conv_layout", None) or "NHWC"
     if layout not in ("NHWC", "NCHW"):
         raise ValueError(f"conv_layout={layout!r}: use 'NHWC' or 'NCHW'")
+    impl = getattr(cfg, "conv_impl", None) or "direct"
+    if impl not in ("direct", "subpixel"):
+        raise ValueError(f"conv_impl={impl!r}: use 'direct' or 'subpixel'")
     enc = Encoder(
         num_blocks=cfg.num_blocks,
         feature_maps=feats,
@@ -312,6 +417,7 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         dtype=dtype,
         precision=prec,
         layout=layout,
+        impl=impl,
     )
     shapes = latent_shapes(x_size, y_size, in_channels, cfg)
     dec = Decoder(
@@ -326,5 +432,6 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
         dtype=dtype,
         precision=prec,
         layout=layout,
+        impl=impl,
     )
     return enc, dec, shapes
