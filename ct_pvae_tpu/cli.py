@@ -145,7 +145,22 @@ def cmd_make_data(argv) -> int:
     p.add_argument("--n-pixel", type=int, default=128)
     p.add_argument("--save-path", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--h5-dir", default=None,
+                   help="ingest real .h5 scans from this directory instead of "
+                   "synthesizing images (reference scripts/preformat_data_h5.py)")
+    p.add_argument("--slices", default="middle",
+                   help="z slices per .h5 scan: 'middle' (reference parity), "
+                   "'all', or an int count of evenly spaced slices — each "
+                   "slice becomes one training example")
     args = p.parse_args(argv)
+    if args.h5_dir is not None:
+        from .data.real import preformat_h5
+
+        save = args.save_path or "dataset_real"
+        sinos, theta = preformat_h5(args.h5_dir, save, slices=args.slices)
+        print(f"Shape of sinograms: {sinos.shape}")
+        print(f"Saved under {save}/  (train with --real)")
+        return 0
     from .data.sinogram import make_dataset
 
     save = args.save_path or (

@@ -17,17 +17,42 @@ import numpy as np
 from . import io
 
 
+def _slice_indices(n_z: int, slices) -> List[int]:
+    """Resolve the z-slice selection for one (A, Z, P) projection volume.
+
+    ``"middle"`` keeps reference behavior (preformat_data_h5.py:44-53: one
+    middle slice per scan).  ``"all"`` emits every slice, and an int emits
+    that many evenly spaced slices — each selected slice becomes an
+    independent training example.  Sparse-view CT volumes are separable in
+    z (each detector row is its own 2-D sinogram), so slices-as-batch is
+    the TPU-native way to reconstruct a 3-D scan: the batch axis of one
+    device, or the ``data`` mesh axis across chips.
+    """
+    if slices == "middle":
+        return [n_z // 2]
+    if slices == "all":
+        return list(range(n_z))
+    n = int(slices)
+    if n <= 0:
+        raise ValueError(f"slices={slices!r}: use 'middle', 'all', or a positive int")
+    if n >= n_z:
+        return list(range(n_z))
+    return [round(i * (n_z - 1) / (n - 1)) for i in range(n)] if n > 1 else [n_z // 2]
+
+
 def preformat_h5(
     input_dir: str,
     save_path: str,
     data_key: str = "exchange/data",
     theta_key: str = "exchange/theta",
     normalize: bool = True,
+    slices="middle",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Collect middle-slice sinograms from every .h5 under input_dir.
+    """Collect per-slice sinograms from every .h5 under input_dir.
 
-    Returns (sinograms (N, A, P), theta (A,)) and writes the dataset contract
-    files to ``save_path``.
+    ``slices`` selects z rows per scan ("middle" | "all" | int count; see
+    ``_slice_indices``).  Returns (sinograms (N, A, P), theta (A,)) and
+    writes the dataset contract files to ``save_path``.
     """
     import h5py
 
@@ -42,15 +67,15 @@ def preformat_h5(
                 continue
             data = f[data_key]  # (A, Z, P) projection stack
             theta = np.asarray(f[theta_key][...], np.float32).reshape(-1)
-            mid = data.shape[1] // 2
-            sino = np.asarray(data[:, mid, :], np.float32)
             if theta_ref is None:
                 theta_ref = theta
             elif len(theta) != len(theta_ref):
                 continue  # skip inconsistent acquisitions
-            if normalize and sino.max() > 0:
-                sino = sino / sino.max()
-            sinos.append(sino)
+            for z in _slice_indices(data.shape[1], slices):
+                sino = np.asarray(data[:, z, :], np.float32)
+                if normalize and sino.max() > 0:
+                    sino = sino / sino.max()
+                sinos.append(sino)
     if not sinos:
         raise ValueError("no usable (data, theta) pairs found")
     arr = np.stack(sinos, axis=0)

@@ -33,6 +33,30 @@ def test_preformat_h5_collects_middle_slices(tmp_path):
     assert p2 == 16
 
 
+def test_preformat_h5_slice_selection(tmp_path):
+    """'all' / int slice modes: volumes become slices-as-batch examples."""
+    d = tmp_path / "h5s"
+    d.mkdir()
+    _write_h5(d / "scan1.h5", z=5)
+    _write_h5(d / "scan2.h5", z=5, scale=2.0)
+    all_s, _ = preformat_h5(str(d), str(tmp_path / "o_all"), slices="all")
+    assert all_s.shape == (10, 12, 16)
+    three, _ = preformat_h5(str(d), str(tmp_path / "o_3"), slices=3)
+    assert three.shape == (6, 12, 16)
+    # evenly spaced selection includes first, middle, last of each scan
+    with h5py.File(d / "scan1.h5") as f:
+        vol = np.asarray(f["exchange/data"][...], np.float32)
+    for i, z in enumerate([0, 2, 4]):
+        expect = vol[:, z, :]
+        expect = expect / expect.max()
+        np.testing.assert_allclose(three[i], expect, rtol=1e-6)
+    # middle (default) stays reference-parity: one slice per scan
+    mid, _ = preformat_h5(str(d), str(tmp_path / "o_mid"))
+    np.testing.assert_allclose(mid[0], all_s[2])
+    with pytest.raises(ValueError):
+        preformat_h5(str(d), str(tmp_path / "o_bad"), slices=0)
+
+
 def test_preformat_h5_skips_inconsistent_and_requires_files(tmp_path):
     d = tmp_path / "h5s"
     d.mkdir()
