@@ -57,8 +57,16 @@ _VMEM_BLOCK_BYTES = 8 * 1024 * 1024
 def _batch_tile(b: int, h_pad: int, w_pad: int, n_blocks: int = 1) -> Tuple[int, int]:
     """(b_pad, tile) with tile a multiple of the sublane count dividing b_pad,
     sized so ``n_blocks`` resident (tile, h_pad, w_pad) f32 blocks fit the
-    VMEM block budget together."""
-    per_elem = h_pad * w_pad * 4 * n_blocks
+    VMEM block budget together.
+
+    The x2 accounts for Pallas double-buffering each input block across grid
+    steps: at the old budget a merged ELBO batch of 80 x 128^2 picked tile 64,
+    whose two 4 MB image blocks allocated 2x2x4 MB = 16.19 MB with scratch —
+    192 KB over the 16 MB scoped-vmem limit (Mosaic stack OOM at compile).
+    Shapes at or below the minimum tile (e.g. the 512^2 stretch case, tile 8)
+    are unaffected.
+    """
+    per_elem = h_pad * w_pad * 4 * n_blocks * 2
     tile = max(_SUB, (_VMEM_BLOCK_BYTES // per_elem) // _SUB * _SUB)
     tile = min(tile, _ceil_to(b, _SUB))
     b_pad = _ceil_to(b, tile)
