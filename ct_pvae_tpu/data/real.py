@@ -20,8 +20,13 @@ from . import io
 def _slice_indices(n_z: int, slices) -> List[int]:
     """Resolve the z-slice selection for one (A, Z, P) projection volume.
 
-    ``"middle"`` keeps reference behavior (preformat_data_h5.py:44-53: one
-    middle slice per scan).  ``"all"`` emits every slice, and an int emits
+    ``"middle"`` emits one middle slice per scan, analogous to the
+    reference's single-slice ingest (preformat_data_h5.py:44-53) but not
+    line-for-line parity: the reference indexes ``num_z//2 - 1`` and this
+    module takes ``n_z//2`` of the z axis, and our optional per-sinogram
+    max normalization (``normalize=True``) has no reference counterpart —
+    conscious deviations, recorded like the rest in PARITY.md.
+    ``"all"`` emits every slice, and an int emits
     that many evenly spaced slices — each selected slice becomes an
     independent training example.  Sparse-view CT volumes are separable in
     z (each detector row is its own 2-D sinogram), so slices-as-batch is

@@ -11,8 +11,12 @@ training artifacts touched.
 Because the guide is amortized, inference is a forward pass: encoder ->
 hierarchical q -> decoder -> per-pixel output distribution.  Uncertainty is
 estimated by ``num_passes`` independent latent draws (each an eval-mode ELBO
-pass with ``cfg.num_samples`` inner samples); the running mean and second
-moment accumulate on host so memory stays O(dataset), not O(passes).
+pass with ``cfg.num_samples`` inner samples).  All passes for a batch run as
+ONE device call: a ``lax.scan`` over the pass keys accumulates the mean and
+second moment on device in float32 (O(batch) device memory regardless of
+``num_passes`` — the first pass's sample rides in the scan carry rather than
+being stacked), and only the finished per-batch moments are read back to the
+host float64 accumulators.
 
 Outputs under ``output_path``:
   reconstruction_mean.npy    (N, x, y, 1)  E[R] over passes x ELBO samples
@@ -95,14 +99,21 @@ def amortized_infer(
     def _infer_batch(state, data, bidx, keys):
         zero = jnp.zeros((b, tr.x_size, tr.y_size), jnp.float32)
 
-        def body(carry, skey):
-            ma, sa = carry
+        def body(carry, xs):
+            ma, sa, samp = carry
+            skey, pass_idx = xs
             _, loss, aux = eval_fn(state, data, bidx, angle_all, skey)
             m = aux.recon_mean
-            return (ma + m, sa + m * m), (loss, aux.recon_sample)
+            # keep only the FIRST pass's sample (the reference's eval quirk
+            # needs one draw); carrying it instead of stacking keeps device
+            # memory O(batch), not O(passes)
+            samp = jnp.where(pass_idx == 0, aux.recon_sample, samp)
+            return (ma + m, sa + m * m, samp), loss
 
-        (ma, sa), (loss_p, samples) = jax.lax.scan(body, (zero, zero), keys)
-        return ma, sa, jnp.mean(loss_p), samples[0]
+        (ma, sa, samp), loss_p = jax.lax.scan(
+            body, (zero, zero, zero), (keys, jnp.arange(num_passes))
+        )
+        return ma, sa, jnp.mean(loss_p), samp
 
     mean_acc = np.zeros((n, tr.x_size, tr.y_size), np.float64)
     sq_acc = np.zeros_like(mean_acc)

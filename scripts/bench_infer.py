@@ -1,8 +1,9 @@
-"""Serving-throughput benchmark: amortized inference on new sinograms.
+"""Serving-throughput benchmark: amortized inference on held-out sinograms.
 
-Reconstructs fresh foam measurements with the archived paper-run weights
-(results/foam_paper_run/ckpt-100000.msgpack) through the production `infer`
-path (vi/infer.py: masks/noise/classical-init for the new data + fused
+Reconstructs HELD-OUT foam measurements — generated on first use with a
+disjoint seed into ``dataset_foam_holdout/``, never seen in training — with
+the archived paper-run weights through the production `infer` path
+(vi/infer.py: masks/noise/classical-init for the new data + fused
 multi-pass posterior summaries) and prints examples/s end to end plus the
 steady-state device rate.  The reference has no serving path at all — its
 only eval rescored the training set inside the training driver
@@ -36,7 +37,20 @@ def main() -> None:
     from ct_pvae_tpu.data import io as data_io
     from ct_pvae_tpu.vi.infer import amortized_infer
 
-    sinos, theta, _ = data_io.load_dataset("dataset_foam")
+    # held-out measurements: same geometry/distribution as dataset_foam but a
+    # disjoint seed, generated once and cached — the training set is NOT used
+    holdout = "dataset_foam_holdout"
+    if not os.path.exists(os.path.join(holdout, "x_train_sinograms.npy")):
+        from ct_pvae_tpu.data.foam import generate_foam_images
+        from ct_pvae_tpu.data.sinogram import images_to_sinograms
+
+        print(f"generating {args.n} held-out foam sinograms (seed 1000) ...")
+        imgs = generate_foam_images(args.n, seed=1000)
+        th = np.linspace(0, np.pi, 180, endpoint=False).astype(np.float32)
+        ho_sinos = images_to_sinograms(imgs, th, pad=True)
+        data_io.save_dataset(holdout, ho_sinos, th, imgs.shape[1], imgs.shape[2])
+        np.save(os.path.join(holdout, "foam_holdout_truth.npy"), imgs)
+    sinos, theta, _ = data_io.load_dataset(holdout)
     n = min(args.n, len(sinos))
     sinos = np.asarray(sinos[:n])
 
