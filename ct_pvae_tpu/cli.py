@@ -294,23 +294,51 @@ def cmd_infer(argv) -> int:
 def cmd_mcmc(argv) -> int:
     p = argparse.ArgumentParser(prog="mcmc")
     p.add_argument("--save_path", required=True, help="path of the VAE run (masks live there)")
-    p.add_argument("-s", type=int, dest="number_of_steps", default=200000)
-    p.add_argument("-b", type=int, dest="burnin", default=50000)
+    p.add_argument("--model", choices=["toy", "foam"], default="toy",
+                   help="toy: 2x2 simplex posterior (reference bin/toy_mcmc_v2.py); "
+                   "foam: full image-space posterior (north-star extension)")
+    p.add_argument("-s", type=int, dest="number_of_steps", default=None,
+                   help="post-burnin draws (default: 200000 toy, 2000 foam)")
+    p.add_argument("-b", type=int, dest="burnin", default=None,
+                   help="burn-in steps (default: 50000 toy, 1000 foam)")
     p.add_argument("--en", type=int, dest="example_num", default=0)
-    p.add_argument("--pnm", type=float, default=1e3)
+    p.add_argument("--pnm", type=float, default=None,
+                   help="default: 1e3 toy; the run config's pnm for foam")
     p.add_argument("--chains", type=int, default=8)
-    p.add_argument("--sampler", choices=["hmc", "nuts", "smc"], default="hmc")
+    p.add_argument("--sampler", choices=["hmc", "nuts", "smc"], default=None,
+                   help="default: hmc toy (reference kernel), nuts foam")
+    p.add_argument("--prior", choices=["tv", "smooth", "flat"], default="tv",
+                   help="foam pixel-space prior (mcmc/image_model.py)")
+    p.add_argument("--prior_weight", type=float, default=10.0)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.model == "foam":
+        from .eval.mcmc_run import run_foam_mcmc
+
+        run_foam_mcmc(
+            save_path=args.save_path,
+            number_of_steps=args.number_of_steps or 2000,
+            burnin=args.burnin if args.burnin is not None else 1000,
+            example_num=args.example_num,
+            poisson_noise_multiplier=args.pnm,
+            num_chains=args.chains,
+            sampler=args.sampler or "nuts",
+            prior=args.prior,
+            prior_weight=args.prior_weight,
+            seed=args.seed,
+        )
+        return 0
     from .eval.mcmc_run import run_toy_mcmc
 
     run_toy_mcmc(
         save_path=args.save_path,
-        number_of_steps=args.number_of_steps,
-        burnin=args.burnin,
+        number_of_steps=args.number_of_steps or 200000,
+        burnin=args.burnin if args.burnin is not None else 50000,
         example_num=args.example_num,
-        poisson_noise_multiplier=args.pnm,
+        poisson_noise_multiplier=args.pnm if args.pnm is not None else 1e3,
         num_chains=args.chains,
-        sampler=args.sampler,
+        sampler=args.sampler or "hmc",
+        seed=args.seed,
     )
     return 0
 

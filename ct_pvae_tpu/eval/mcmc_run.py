@@ -1,9 +1,15 @@
-"""Toy-posterior MCMC driver (reference bin/toy_mcmc_v2.py as a library call).
+"""MCMC drivers: toy simplex posterior + image-scale (foam) posteriors.
 
-Loads the masks/measurements a VAE run produced (the same disk coupling the
+``run_toy_mcmc`` is the reference bin/toy_mcmc_v2.py as a library call: loads
+the masks/measurements a VAE run produced (the same disk coupling the
 reference uses, toy_mcmc_v2.py:54-60), runs HMC/NUTS/SMC over the simplex
 posterior with many chains, and writes ``posterior_prob_trace.npy`` plus
 per-pixel histogram figures.
+
+``run_foam_mcmc`` is the north-star extension the reference lacks: the same
+sampler stack over a full H x W per-object posterior (mcmc/image_model.py),
+with chains sharded on the ``chains`` mesh axis and posterior moments
+accumulated in bounded-memory chunks.
 """
 
 from __future__ import annotations
@@ -122,3 +128,176 @@ def run_toy_mcmc(
     except Exception:
         pass
     return trace
+
+
+def run_foam_mcmc(
+    save_path: str,
+    number_of_steps: int = 2000,
+    burnin: int = 1000,
+    example_num: int = 0,
+    poisson_noise_multiplier: float = None,
+    num_chains: int = 8,
+    sampler: str = "nuts",
+    prior: str = "tv",
+    prior_weight: float = 10.0,
+    seed: int = 0,
+    chunk: int = 64,
+    max_depth: int = 7,
+    input_path: str = None,
+    output_prefix: str = "mcmc",
+) -> dict:
+    """Image-scale posterior sampling for one object of a finished VAE run.
+
+    Loads the run's measurement realization (all_masks / all_proj_samples —
+    the exact coupling the toy driver uses, toy_mcmc_v2.py:54-60), builds the
+    true-Poisson image posterior (mcmc/image_model.py), warm-starts chains at
+    the run's classical init stack, and runs NUTS (chunked, bounded-memory
+    moment accumulation) or SMC (tempered from the jittered init cloud).
+
+    Writes ``<prefix>_posterior_mean.npy`` / ``<prefix>_posterior_std.npy``
+    ((x, y) images) under ``save_path`` and returns
+    {"mean", "std", "diag", "psnr_mcmc", "psnr_init"} — the PSNRs against
+    ground truth (when resolvable from the dataset path) for the posterior
+    mean and for the classical init it started from.
+    """
+    from ..config import Config
+    from ..data import io as data_io
+    from ..mcmc import NUTSConfig, SMCConfig, nuts_sample, smc_sample, HMCConfig, hmc_sample
+    from ..mcmc.image_model import (
+        init_chains_from_recon,
+        make_image_log_prob,
+        softplus_forward,
+    )
+    from .metrics import compare
+
+    cfg = Config.load(os.path.join(save_path, "config.json"))
+    if input_path is None:
+        input_path = cfg.input_path
+    if poisson_noise_multiplier is None:
+        poisson_noise_multiplier = cfg.poisson_noise_multiplier
+    _, theta, _ = data_io.load_dataset(input_path)
+
+    all_masks = np.load(os.path.join(save_path, "all_masks.npy"))
+    all_proj = np.load(os.path.join(save_path, "all_proj_samples.npy"))
+    init_stack = np.load(os.path.join(save_path, "all_input_encode.npy"))
+    mask = all_masks[example_num]
+    used = mask > _EPS
+    theta_used = np.asarray(theta)[used]
+    mask_used = jnp.asarray(mask[used])
+    meas = jnp.asarray(all_proj[example_num][used])
+    init_recon = init_stack[example_num, :, :, 0]      # first algorithm channel
+    x_size, y_size = init_recon.shape
+
+    log_prob = make_image_log_prob(
+        meas, theta_used, mask_used, poisson_noise_multiplier,
+        x_size, y_size, prior=prior, prior_weight=prior_weight,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    init = init_chains_from_recon(init_recon, num_chains, k_init)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and num_chains % n_dev == 0:
+        init = shard_chains(make_chains_mesh(n_dev), init)
+
+    t0 = time.time()
+    dim = x_size * y_size
+    if sampler == "smc":
+        from ..mcmc.image_model import image_log_prior, softplus_log_det_jacobian
+
+        def log_prior_fn(x):
+            o = softplus_forward(x).reshape(x_size, y_size)
+            return image_log_prior(o, prior, prior_weight) + softplus_log_det_jacobian(x)
+
+        def log_lik_fn(x):
+            return log_prob(x) - log_prior_fn(x)
+
+        scfg = SMCConfig(
+            num_particles=num_chains,
+            num_stages=max(number_of_steps // SMCConfig().mutation_steps, 8),
+            step_size=1e-2,
+        )
+        particles, diag = smc_sample(log_prior_fn, log_lik_fn, init, k_run, scfg)
+        o = softplus_forward(particles).reshape(num_chains, x_size, y_size)
+        mean = jnp.mean(o, axis=0)
+        std = jnp.std(o, axis=0)
+        draws = num_chains
+    else:
+        # warmup + chunked draws: the (chunk, C, D) trace never exceeds a few
+        # tens of MB regardless of the requested number_of_steps
+        if sampler == "nuts":
+            ncfg = NUTSConfig(
+                num_results=min(chunk, number_of_steps),
+                num_burnin=burnin, step_size=1e-2, max_depth=max_depth,
+            )
+            run_chunk = lambda st, k, im, ss, c: nuts_sample(
+                log_prob, st, k, c, inv_mass0=im, step_size0=ss
+            )
+            cont_cfg = NUTSConfig(
+                num_results=chunk, num_burnin=0, step_size=1e-2,
+                max_depth=max_depth, adapt_step_size=False, adapt_mass=False,
+            )
+        else:  # hmc
+            ncfg = HMCConfig(
+                num_results=min(chunk, number_of_steps), num_burnin=burnin,
+                step_size=1e-3, num_adaptation=burnin,
+            )
+            run_chunk = None  # single-call path below
+        if sampler == "hmc":
+            samples, diag = hmc_sample(log_prob, init, k_run, ncfg)
+            o = softplus_forward(samples)
+            mean = jnp.mean(o, axis=(0, 1)).reshape(x_size, y_size)
+            std = jnp.std(o, axis=(0, 1)).reshape(x_size, y_size)
+            draws = samples.shape[0] * samples.shape[1]
+        else:
+            k_run, kc = jax.random.split(k_run)
+            samples, diag = run_chunk(init, kc, None, None, ncfg)
+            o = softplus_forward(samples)
+            cnt = o.shape[0] * o.shape[1]
+            s1 = jnp.sum(o, axis=(0, 1))
+            s2 = jnp.sum(o * o, axis=(0, 1))
+            state = diag["final_state"]
+            inv_mass = diag["inv_mass"]
+            step_size = diag["final_step_size"]
+            remaining = number_of_steps - ncfg.num_results
+            while remaining > 0:
+                k_run, kc = jax.random.split(k_run)
+                samples, diag = run_chunk(state, kc, inv_mass, step_size, cont_cfg)
+                o = softplus_forward(samples)
+                take = min(remaining, o.shape[0])
+                o = o[:take]
+                cnt += take * o.shape[1]
+                s1 = s1 + jnp.sum(o, axis=(0, 1))
+                s2 = s2 + jnp.sum(o * o, axis=(0, 1))
+                state = diag["final_state"]
+                remaining -= take
+            mean = (s1 / cnt).reshape(x_size, y_size)
+            var = jnp.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)
+            std = jnp.sqrt(var).reshape(x_size, y_size)
+            draws = cnt
+    mean = np.asarray(mean)
+    std = np.asarray(std)
+    dt = time.time() - t0
+    dstr = {k: float(np.asarray(v).mean()) for k, v in diag.items() if np.asarray(v).size <= 4}
+    print(
+        f"foam {sampler} ({x_size}x{y_size}, {num_chains} chains): "
+        f"{draws} draws in {dt:.1f} s ({draws / dt:.2f} draws/s); diag={dstr}"
+    )
+
+    np.save(os.path.join(save_path, f"{output_prefix}_posterior_mean.npy"), mean)
+    np.save(os.path.join(save_path, f"{output_prefix}_posterior_std.npy"), std)
+
+    out = {"mean": mean, "std": std, "diag": dstr, "seconds": dt, "draws": int(draws)}
+    try:
+        gt = data_io.load_ground_truth(input_path)[example_num]
+        gt = np.asarray(gt, np.float32)
+        if gt.shape == mean.shape:
+            _, _, p_mcmc = compare(gt, np.clip(mean, 0.0, 1.0))
+            _, _, p_init = compare(gt, np.clip(init_recon, 0.0, 1.0))
+            out["psnr_mcmc"] = p_mcmc
+            out["psnr_init"] = p_init
+            print(f"posterior-mean PSNR {p_mcmc:.2f} dB vs classical-init {p_init:.2f} dB")
+    except (FileNotFoundError, OSError):
+        pass
+    return out

@@ -1,0 +1,180 @@
+"""Image-space posterior model — foam-scale MCMC (the north-star capstone).
+
+The reference's only exact-posterior workload is the 2x2 toy simplex
+(ctvae/toy_mcmc_v2_functions.py:30-98: Dirichlet-mixture prior x true-Poisson
+likelihood through the projector; driver bin/toy_mcmc_v2.py).  This module
+generalizes that target to full H x W reconstructions, which the reference
+never attempts: the per-object posterior
+
+    log p(O | M)  ∝  log p(M | O) + log p(O)
+
+with a true-Poisson likelihood of the masked sparse-angle sinogram through
+the differentiable projector (the same measurement model the training data
+was generated with, create_masks.py:94-95 — NOT the Gaussian approximation
+the VAE trains against, helper_functions.py:364-368) and a switchable
+pixel-space prior.  Pixel nonnegativity is enforced by sampling in
+unconstrained space through a softplus bijector (the image-scale analogue of
+the toy driver's simplex bijector).
+
+TPU-native design: the log-prob is a pure (D,) -> scalar function, so the
+samplers' chain vmap turns the projector into one batched Pallas MXU kernel
+call over all chains (the kernel's batch axis IS the chain axis), and chains
+shard across devices on the ``chains`` mesh axis exactly like the toy
+workload (parallel/chains.py).  On CPU/test meshes the kernels run in
+interpret mode; tiny geometries fall back to the XLA gather projector.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.radon import num_proj_pixels, radon
+from ..prob.distributions import Poisson
+
+Array = jnp.ndarray
+_EPS = float(np.finfo(np.float32).eps)
+
+
+# ---------------------------------------------------------------------------
+# softplus bijector: unconstrained R^D -> nonnegative pixel intensities
+# ---------------------------------------------------------------------------
+
+
+def softplus_forward(x: Array) -> Array:
+    return jax.nn.softplus(x)
+
+
+def softplus_inverse(o: Array) -> Array:
+    """x with softplus(x) = o (o > 0); stable for large o."""
+    o = jnp.clip(o, 1e-6, None)
+    return o + jnp.log(-jnp.expm1(-o))
+
+
+def softplus_log_det_jacobian(x: Array) -> Array:
+    """sum log d softplus(x)/dx = sum log sigmoid(x)."""
+    return jnp.sum(jax.nn.log_sigmoid(x))
+
+
+# ---------------------------------------------------------------------------
+# pixel-space priors
+# ---------------------------------------------------------------------------
+
+
+def _grad_images(o: Array):
+    """Forward differences with replicate boundary; o is (H, W)."""
+    dx = jnp.diff(o, axis=0, append=o[-1:, :])
+    dy = jnp.diff(o, axis=1, append=o[:, -1:])
+    return dx, dy
+
+
+def image_log_prior(o: Array, prior: str, weight: float) -> Array:
+    """log p(O) up to a constant for an (H, W) nonnegative image.
+
+    ``tv``      isotropic total variation (Charbonnier-smoothed so HMC
+                gradients exist at flat regions) — the edge-preserving prior
+                matching the piecewise-constant foam phantoms
+    ``smooth``  Gaussian gradient prior 0.5*w*||grad O||^2
+    ``flat``    improper uniform over the nonneg orthant (likelihood only)
+    """
+    if prior == "flat":
+        return jnp.float32(0.0)
+    dx, dy = _grad_images(o)
+    if prior == "tv":
+        return -weight * jnp.sum(jnp.sqrt(dx * dx + dy * dy + 1e-6))
+    if prior == "smooth":
+        return -0.5 * weight * jnp.sum(dx * dx + dy * dy)
+    raise ValueError(f"unknown prior {prior!r} (use tv | smooth | flat)")
+
+
+# ---------------------------------------------------------------------------
+# the posterior log-prob
+# ---------------------------------------------------------------------------
+
+
+def make_image_log_prob(
+    measurements: Array,        # (A_used, P) masked, dose-normalized noisy sinogram
+    theta_used: Array,          # (A_used,) angles with nonzero mask
+    mask_used: Array,           # (A_used,) the dose-normalization values (1/nsa)
+    poisson_noise_multiplier: float,
+    x_size: int,
+    y_size: int,
+    prior: str = "tv",
+    prior_weight: float = 10.0,
+    use_pallas: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+) -> Callable[[Array], Array]:
+    """Unconstrained-space log-prob for an (x_size*y_size,) image posterior.
+
+    The likelihood is the true-Poisson measurement model the dataset was
+    generated with (create_masks.py:94-95, generalizing
+    toy_mcmc_v2_functions.py:85-95 to image scale): the projector maps the
+    reconstruction to its sinogram, the dose-preserving mask scales the used
+    angles, and ``Poisson(proj * mask * pnm)`` scores ``measurements * pnm``
+    (measurements are stored as counts / pnm).
+
+    Returns ``log_prob(x)`` for x in R^(x_size*y_size); compose with
+    ``softplus_forward`` to read images off samples.
+    """
+    n_det = int(measurements.shape[-1])
+    pnm = jnp.float32(poisson_noise_multiplier)
+    meas = jnp.asarray(measurements, jnp.float32)
+    mask_used = jnp.asarray(mask_used, jnp.float32)
+    theta_np = np.asarray(theta_used, np.float32)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if use_pallas is None:
+        # same routing rule as the trainer (vi/train.py): MXU kernels for
+        # real geometries, XLA gather for tiny/odd ones
+        use_pallas = n_det >= 64 and x_size == y_size
+
+    if use_pallas:
+        from ..ops.pallas_radon import angle_table_fused, radon_pallas_fused
+
+        # Joseph-method table for the UNPADDED square image projects onto the
+        # same n_det detector exactly (see vi/train.py skip_pad note)
+        table = jnp.asarray(angle_table_fused(theta_np, x_size, y_size, n_det))
+
+        def project(o_img: Array) -> Array:       # (H, W) -> (A_used, P)
+            return radon_pallas_fused(o_img[None], table, n_det, interpret)[0]
+
+    else:
+        theta_j = jnp.asarray(theta_np)
+
+        def project(o_img: Array) -> Array:
+            return radon(o_img[None], theta_j, pad=True, n_det=n_det)[0]
+
+    def log_prob(x: Array) -> Array:
+        o_img = softplus_forward(x).reshape(x_size, y_size)
+        proj_masked = project(o_img) * mask_used[:, None]
+        loglik = jnp.sum(Poisson(proj_masked * pnm).log_prob(meas * pnm))
+        return (
+            loglik
+            + image_log_prior(o_img, prior, prior_weight)
+            + softplus_log_det_jacobian(x)
+        )
+
+    return log_prob
+
+
+def init_chains_from_recon(
+    recon: Array,               # (H, W) classical reconstruction (e.g. partial FBP)
+    num_chains: int,
+    key: jax.Array,
+    jitter: float = 0.05,
+    floor: float = 1e-3,
+) -> Array:
+    """Warm-start chains at softplus^-1 of the classical recon + jitter.
+
+    Image posteriors are too high-dimensional for the toy driver's
+    uniform-init strategy (bin/toy_mcmc_v2.py:91-97) to burn in quickly; the
+    classical init stack the VAE encoder consumes is the natural overdispersed
+    starting point.  Returns (num_chains, H*W) unconstrained states.
+    """
+    x0 = softplus_inverse(jnp.clip(jnp.asarray(recon, jnp.float32), floor, None))
+    noise = jax.random.normal(key, (num_chains,) + x0.shape, jnp.float32)
+    return (x0[None] + jitter * noise).reshape(num_chains, -1)

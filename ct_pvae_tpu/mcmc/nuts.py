@@ -314,9 +314,19 @@ def nuts_sample(
     init_state: Array,        # (C, D)
     key: jax.Array,
     cfg: NUTSConfig = NUTSConfig(),
+    inv_mass0: Array = None,   # (D,) continuation metric (default: identity)
+    step_size0: Array = None,  # scalar continuation step size (default: cfg)
 ) -> Tuple[Array, dict]:
     """Run NUTS with dual-averaging + mass-matrix warmup; returns
-    (samples (T, C, D), diagnostics)."""
+    (samples (T, C, D), diagnostics).
+
+    ``inv_mass0``/``step_size0`` are TRACED continuation inputs: chunked
+    drivers (e.g. the image-scale foam posterior, whose full trace cannot
+    stay resident) resume from a finished call's ``diag["inv_mass"]`` /
+    ``diag["final_step_size"]`` / ``diag["final_state"]`` with
+    ``num_burnin=0`` and reuse the same compiled executable across chunks
+    because only array values change, never the static config.
+    """
     grad_fn = jax.grad(log_prob_fn)
     num_chains, dim = init_state.shape
     step_fn = jax.vmap(
@@ -399,15 +409,23 @@ def nuts_sample(
         )
         return new_c, (z, mean_accept)
 
+    log_eps0 = jnp.log(
+        jnp.float32(cfg.step_size) if step_size0 is None else jnp.asarray(step_size0, jnp.float32)
+    )
+    im0 = (
+        jnp.ones((dim,), jnp.float32)
+        if inv_mass0 is None
+        else jnp.asarray(inv_mass0, jnp.float32)
+    )
     init = Carry(
         z=init_state,
         key=key,
-        log_eps=jnp.log(jnp.float32(cfg.step_size)),
-        log_eps_avg=jnp.log(jnp.float32(cfg.step_size)),
+        log_eps=log_eps0,
+        log_eps_avg=log_eps0,
         h_avg=jnp.float32(0.0),
         da_m=jnp.int32(0),
-        mu=jnp.log(10.0 * jnp.float32(cfg.step_size)),
-        inv_mass=jnp.ones((dim,), jnp.float32),
+        mu=jnp.log(10.0) + log_eps0,
+        inv_mass=im0,
         w_count=jnp.float32(0.0),
         w_mean=jnp.zeros((dim,), jnp.float32),
         w_m2=jnp.zeros((dim,), jnp.float32),
