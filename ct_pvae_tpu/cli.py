@@ -68,6 +68,10 @@ def _add_train_args(p: argparse.ArgumentParser, suppress: bool = False) -> None:
       help="force uniform sparse-angle masks (overrides a config file's "
       "random_angles: true; the reference's default regime)")
     a("--restore", action="store_true", dest="restore")
+    a("--resume_total", action="store_true", dest="resume_total",
+      help="with --restore: num_iter counts TOTAL iterations incl. restored "
+      "ones, replaying the uninterrupted run's exact step sequence "
+      "(kill/resume recovery)")
     a("--save_path", dest="save_path")
     a("--se", type=int, dest="stride_encode", default=2)
     a("--si", type=int, dest="save_interval", default=100000)
@@ -408,6 +412,11 @@ def cmd_sweep(argv) -> int:
     p.add_argument("--config", required=True)
     p.add_argument("--save-root", default="sweep_out")
     p.add_argument("--processes", type=int, default=1)
+    p.add_argument("--mode", choices=["random", "grid", "surrogate"], default=None,
+                   help="override the config's mode (e.g. a random control arm "
+                   "against the surrogate at equal budget)")
+    p.add_argument("--trials", type=int, default=None,
+                   help="override the config's num_trials")
     args = p.parse_args(argv)
     import yaml
 
@@ -428,8 +437,8 @@ def cmd_sweep(argv) -> int:
     )
     results = sweep(
         base, space,
-        num_trials=int(spec.get("num_trials", 8)),
-        mode=spec.get("mode", "random"),
+        num_trials=args.trials or int(spec.get("num_trials", 8)),
+        mode=args.mode or spec.get("mode", "random"),
         save_root=args.save_root,
         processes=args.processes,
     )
@@ -526,11 +535,22 @@ def cmd_bench_samplers(argv) -> int:
     BENCH.md: block_until_ready alone under-waits on the remote backend).
     """
     p = argparse.ArgumentParser(prog="bench-samplers")
-    p.add_argument("--chains", type=int, default=512,
-                   help="total chains; with --scaling, chains PER DEVICE")
-    p.add_argument("--steps", type=int, default=2000)
-    p.add_argument("--burnin", type=int, default=500)
-    p.add_argument("--pnm", type=float, default=1e3)
+    p.add_argument("--model", choices=["toy", "foam"], default="toy",
+                   help="toy: 2x2 simplex posterior; foam: image-space "
+                   "posterior through the Pallas projector (north star)")
+    p.add_argument("--size", type=int, default=128,
+                   help="foam image size (posterior dimension = size^2)")
+    p.add_argument("--nsa", type=int, default=20,
+                   help="foam: measured angles of 180 (reference recipe)")
+    p.add_argument("--chains", type=int, default=None,
+                   help="total chains (default 512 toy, 8 foam); with "
+                   "--scaling, chains PER DEVICE")
+    p.add_argument("--steps", type=int, default=None,
+                   help="post-burnin draws (default 2000 toy, 100 foam)")
+    p.add_argument("--burnin", type=int, default=None,
+                   help="default 500 toy, 100 foam")
+    p.add_argument("--pnm", type=float, default=None,
+                   help="default 1e3 toy, 1e4 foam")
     p.add_argument("--samplers", nargs="+", default=["hmc", "nuts", "smc"])
     p.add_argument("--devices", type=int, default=None,
                    help="use only the first K local devices (default: all)")
@@ -540,6 +560,15 @@ def cmd_bench_samplers(argv) -> int:
                         "efficiency vs 1 device (the BASELINE.md samples/s "
                         "scaling measurement — run on a multi-chip slice)")
     args = p.parse_args(argv)
+    foam = args.model == "foam"
+    if args.chains is None:
+        args.chains = 8 if foam else 512
+    if args.steps is None:
+        args.steps = 100 if foam else 2000
+    if args.burnin is None:
+        args.burnin = 100 if foam else 500
+    if args.pnm is None:
+        args.pnm = 1e4 if foam else 1e3
     import time
 
     import jax
@@ -564,6 +593,59 @@ def cmd_bench_samplers(argv) -> int:
     mask_u = mask[np.nonzero(used)[0]]
     meas_u = meas[np.nonzero(used)[0]]
     log_prob = toy_posterior_sampler(meas_u, theta_u, mask_u, args.pnm)
+    dim = 3
+    hmc_step, nuts_step, smc_step = 6.5e-2, 6.5e-2, SMCConfig().step_size
+    smc_stages = SMCConfig().num_stages
+
+    if foam:
+        # image-space posterior: one synthetic foam phantom at --size, 180
+        # angles, --nsa uniformly measured, true-Poisson noise — the
+        # north-star workload at production geometry (VERDICT Next #1)
+        from .data.foam import generate_foam_images
+        from .data.recon_init import crop_center
+        from .mcmc.image_model import (
+            image_log_prior,
+            init_chains_from_recon,
+            make_image_log_prob,
+            softplus_log_det_jacobian,
+            softplus_forward,
+        )
+        from .ops.fbp import fbp
+        from .ops.radon import num_proj_pixels, radon_fast
+
+        h = args.size
+        gt = jnp.asarray(generate_foam_images(1, n_pixel=h, seed=7)[0])
+        theta_f = np.linspace(0, np.pi, 180, endpoint=False).astype(np.float32)
+        n_det = num_proj_pixels(h, h)
+        proj_f = radon_fast(gt[None], jnp.asarray(theta_f), pad=True)[0]
+        mask_f = np.zeros(180, np.float32)
+        mask_f[:: 180 // args.nsa] = 1.0 / args.nsa
+        pm = jnp.clip(proj_f * mask_f[:, None], 0, None)
+        meas_f = jax.random.poisson(jax.random.PRNGKey(5), pm * args.pnm) / args.pnm
+        used_f = mask_f > 0
+        meas_u = meas_f[np.nonzero(used_f)[0]]
+        theta_u = theta_f[used_f]
+        mask_u = jnp.asarray(mask_f[used_f])
+        dim = h * h
+        log_prob = make_image_log_prob(
+            meas_u, theta_u, mask_u, args.pnm, h, h, prior="tv", prior_weight=10.0
+        )
+        # warm start at the partial FBP (mcmc/image_model.py)
+        unnorm = jnp.where(
+            mask_f[:, None] > 0, meas_f / jnp.clip(mask_f[:, None], 1e-9), 0.0
+        )
+        init_recon = crop_center(
+            fbp(unnorm[None], jnp.asarray(theta_f), n_det, n_det, "ramp")[0], h, h
+        )
+        hmc_step, nuts_step, smc_step = 1e-3, 1e-2, 1e-2
+        smc_stages = 120
+
+        def foam_log_prior(x):
+            o = softplus_forward(x).reshape(h, h)
+            return image_log_prior(o, "tv", 10.0) + softplus_log_det_jacobian(x)
+
+        def foam_log_lik(x):
+            return log_prob(x) - foam_log_prior(x)
 
     all_devices = jax.devices()
     if args.devices is not None:
@@ -587,38 +669,49 @@ def cmd_bench_samplers(argv) -> int:
         """Time each requested sampler with `chains` sharded over n_dev devices."""
         mesh = (make_chains_mesh(n_dev, devices=all_devices)
                 if n_dev > 1 and chains % n_dev == 0 else None)
-        init = jnp.zeros((chains, 3))
+        if foam:
+            init = init_chains_from_recon(init_recon, chains, jax.random.PRNGKey(11))
+        else:
+            init = jnp.zeros((chains, dim))
         if mesh is not None:
             init = shard_chains(mesh, init)
         rates = {}
         for s in args.samplers:
             if s == "hmc":
                 cfg = HMCConfig(num_results=args.steps, num_burnin=args.burnin,
-                                num_leapfrog=5, step_size=6.5e-2, num_adaptation=400)
+                                num_leapfrog=5, step_size=hmc_step,
+                                num_adaptation=max(400, args.burnin))
                 rates[s] = timed("hmc", lambda k: hmc_sample(log_prob, init, k, cfg)[0],
                                  args.steps * chains, chains, n_dev)
             elif s == "nuts":
                 cfg = NUTSConfig(num_results=args.steps, num_burnin=args.burnin,
-                                 step_size=6.5e-2)
+                                 step_size=nuts_step)
                 rates[s] = timed("nuts", lambda k: nuts_sample(log_prob, init, k, cfg)[0],
                                  args.steps * chains, chains, n_dev)
             elif s == "smc":
-                prior = toy_prior()
-                k1 = jax.random.PRNGKey(3)
-                particles = IteratedSigmoidCentered.inverse(prior.sample(k1, (chains,)))
+                if foam:
+                    particles = init_chains_from_recon(
+                        init_recon, chains, jax.random.PRNGKey(3), jitter=0.1
+                    )
+                    log_prior, log_lik = foam_log_prior, foam_log_lik
+                else:
+                    prior = toy_prior()
+                    k1 = jax.random.PRNGKey(3)
+                    particles = IteratedSigmoidCentered.inverse(prior.sample(k1, (chains,)))
+
+                    def log_prior(x):
+                        o = IteratedSigmoidCentered.forward(x)
+                        return prior.log_prob(o) + IteratedSigmoidCentered.forward_log_det_jacobian(x)
+
+                    def log_lik(x):
+                        o = IteratedSigmoidCentered.forward(x)
+                        return toy_joint_log_prob(o, meas_u, theta_u, mask_u, args.pnm) - \
+                            prior.log_prob(jnp.maximum(o, np.finfo(np.float32).tiny))
+
                 if mesh is not None:
                     particles = shard_chains(mesh, particles)
-
-                def log_prior(x):
-                    o = IteratedSigmoidCentered.forward(x)
-                    return prior.log_prob(o) + IteratedSigmoidCentered.forward_log_det_jacobian(x)
-
-                def log_lik(x):
-                    o = IteratedSigmoidCentered.forward(x)
-                    return toy_joint_log_prob(o, meas_u, theta_u, mask_u, args.pnm) - \
-                        prior.log_prob(jnp.maximum(o, np.finfo(np.float32).tiny))
-
-                cfg = SMCConfig(num_particles=chains)
+                cfg = SMCConfig(num_particles=chains, num_stages=smc_stages,
+                                step_size=smc_step)
                 rates[s] = timed("smc", lambda k: smc_sample(log_prior, log_lik,
                                                              particles, k, cfg)[0],
                                  chains, chains, n_dev)

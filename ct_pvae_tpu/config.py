@@ -33,6 +33,11 @@ class Config:
     restore: bool = False                     # --restore
     restore_num: Optional[int] = None         # -r
     use_latest_ckpt: bool = False             # --ulc
+    # Kill/resume recovery semantics: num_iter counts TOTAL iterations
+    # including the restored ones, and the relaunched loop replays the exact
+    # key/index sequence of an uninterrupted run (vi/train.py).  Default
+    # False keeps the "+num_iter extra" extension semantics.
+    resume_total: bool = False                # --resume_total
 
     # --- data / measurement model (ref main_ct_vae.py:71-84, 93-94, 107-112) ---
     truncate_dataset: int = 100               # --td

@@ -83,10 +83,19 @@ def make_dataset(
 
     if save_path is not None:
         io.save_dataset(save_path, sinos, theta, images.shape[1], images.shape[2])
-        # ground truth next to the dataset folder, reference naming
+        # ground truth next to the dataset folder, named so that
+        # io.load_ground_truth's 'dataset_<name>' -> '<name>_training.npy'
+        # convention (reference main_ct_vae.py:566) resolves it — a custom
+        # --save-path (e.g. dataset_foam_512) gets its own ground-truth file
+        # instead of clobbering the default dataset's
         import os
 
-        root = os.path.dirname(os.path.normpath(save_path)) or "."
-        name = img_type if img_type != "toy" else "toy_discrete2"
+        norm = os.path.normpath(save_path)
+        root = os.path.dirname(norm) or "."
+        base = os.path.basename(norm)
+        if base.startswith("dataset_"):
+            name = base[len("dataset_"):]
+        else:
+            name = img_type if img_type != "toy" else "toy_discrete2"
         io.save_ground_truth(images, name, root)
     return images, sinos, theta

@@ -34,3 +34,17 @@ class IndexStream:
         out = self._order[self._pos : self._pos + self.batch]
         self._pos += self.batch
         return out.astype(np.int32)
+
+    def skip(self, k: int) -> None:
+        """Advance past ``k`` draws (replaying the RNG, not copying batches).
+
+        Elastic resume: a restored run fast-forwards its streams over the
+        prefix a prior launch consumed, so the continued training sees the
+        same index sequence an uninterrupted run would have.
+        """
+        for _ in range(k):
+            if self._pos + self.batch > self.n:
+                if self.shuffle:
+                    self._order = self._rng.permutation(self.n)
+                self._pos = 0
+            self._pos += self.batch

@@ -421,6 +421,21 @@ class Trainer:
         metric_buf = []
         stop = False
 
+        # Elastic resume: a restored run replays the exact per-step sequence
+        # the uninterrupted run would have produced — step keys derive from
+        # the ABSOLUTE step (fold_in below, O(1) regardless of start_step)
+        # and the host index streams fast-forward over the consumed prefix.
+        # With ``resume_total`` num_iter counts TOTAL iterations including
+        # the restored ones (kill/resume recovery: relaunch with the same
+        # config + --restore --ulc --resume_total and the final state matches
+        # an uninterrupted run); default keeps the reference-style "+extra"
+        # semantics the extension scripts use.
+        if start_step:
+            batch_stream.skip(start_step)
+            angle_stream.skip(start_step)
+        target_iters = cfg.num_iter - start_step if cfg.resume_total else cfg.num_iter
+        target_iters = max(target_iters, 0)
+
         # streaming data path (multi-host datasets too large to replicate):
         # each host slices its part of the batch from host memory and the
         # global batch is assembled batch-sharded on the 'data' axis
@@ -468,7 +483,7 @@ class Trainer:
         si = max(1, cfg.save_interval)
         buf_rows = 0
         it = 0
-        while it < cfg.num_iter:
+        while it < target_iters:
             if cfg.profile_steps and cfg.save_path:
                 # trace steps [2, 2+profile_steps) after warmup/compile
                 if it == 2:
@@ -482,16 +497,18 @@ class Trainer:
                     # end the chunk exactly at the next save boundary (an iter
                     # j with j % si == 0 saves after executing, ref :409-415)
                     j0 = it if it % si == 0 else ((it // si) + 1) * si
-                    k_steps = min(spc, cfg.num_iter - it, j0 - it + 1)
+                    k_steps = min(spc, target_iters - it, j0 - it + 1)
                 else:
                     # no checkpoints happen without a save_path, so there is
                     # no boundary to respect — keep full-size fused chunks
-                    k_steps = min(spc, cfg.num_iter - it)
+                    k_steps = min(spc, target_iters - it)
             else:
                 k_steps = 1
             skeys, bidxs, aidxs = [], [], []
-            for _ in range(k_steps):
-                key, skey = jax.random.split(key)
+            for j in range(k_steps):
+                # absolute-step key: restart-invariant (elastic resume) and
+                # identical across hosts and scan/non-scan dispatch paths
+                skey = jax.random.fold_in(key, start_step + it + j)
                 skeys.append(skey)
                 bidxs.append(batch_stream.next())
                 aidxs.append(angle_stream.next())
@@ -526,7 +543,7 @@ class Trainer:
                     )
                     metric_buf.append(step_metrics[None])
             buf_rows += k_steps
-            if buf_rows >= flush_every or last == cfg.num_iter - 1:
+            if buf_rows >= flush_every or last == target_iters - 1:
                 block = np.asarray(jnp.concatenate(metric_buf))  # one device->host read
                 first = start_step + last + 1 - buf_rows + 1
                 for j, row in enumerate(block):
@@ -554,7 +571,7 @@ class Trainer:
                     )
                 start_time = time.time()
             if cfg.save_path and is_primary() and (
-                last % cfg.save_interval == 0 or last == cfg.num_iter - 1
+                last % cfg.save_interval == 0 or last == target_iters - 1
             ):
                 self.metrics.save_npy_contract()
                 self.checkpoint()
@@ -622,8 +639,16 @@ class Trainer:
         os.makedirs(ckpt_dir, exist_ok=True)
         n = int(self.state.step)
         path = os.path.join(ckpt_dir, f"ckpt-{n}.msgpack")
-        with open(path, "wb") as f:
+        # atomic write (tmp + rename): a host killed mid-checkpoint must
+        # never leave a truncated ckpt-N for the relaunch to trip over —
+        # the durability contract kill/resume recovery depends on
+        # (tests/test_multihost.py::test_kill_and_resume_matches_uninterrupted)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(self.state))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
         return path
 
     def restore(
@@ -643,7 +668,12 @@ class Trainer:
         ckpt_dir = os.path.join(ckpt_dir, "training_checkpoints")
         if use_latest or restore_num is None:
             cands = sorted(
-                (f for f in os.listdir(ckpt_dir) if f.startswith("ckpt-")),
+                (
+                    f
+                    for f in os.listdir(ckpt_dir)
+                    # skip in-flight atomic-write temps from a live/killed run
+                    if f.startswith("ckpt-") and f.endswith(".msgpack")
+                ),
                 key=lambda f: int(f.split("-")[1].split(".")[0]),
             )
             if not cands:

@@ -8,12 +8,22 @@ reference's only multi-node story is an MPI trial farm; here the same
 single-program training step spans processes).
 
 Usage:
-  python _multihost_worker.py OUT_JSON SAVE_DIR NPROCS PID PORT STREAM
+  python _multihost_worker.py OUT_JSON SAVE_DIR NPROCS PID PORT STREAM [MODE]
 
-The process trains a tiny foam-like model for a few steps, computes a
-deterministic eval loss, checkpoints, restores into a FRESH Trainer on
-every process (non-primary restore, VERDICT Missing #2), and process 0
-writes {"loss", "loss_restored", "process_count"} to OUT_JSON.
+Default MODE ("eval"): the process trains a tiny foam-like model for a few
+steps, computes a deterministic eval loss, checkpoints, restores into a
+FRESH Trainer on every process (non-primary restore, VERDICT Missing #2),
+and process 0 writes {"loss", "loss_restored", "process_count"} to OUT_JSON.
+
+Kill/resume recovery modes (round-3 VERDICT Next #8 — SURVEY §5.3-5.4):
+  "full"    train 12 iterations uninterrupted (checkpoint every 5), eval,
+            write {"loss", "loss_final"}
+  "victim"  same 12-iteration run; the parent SIGKILLs every process once
+            the mid-run checkpoint (ckpt-6) is on disk
+  "resume"  relaunch over the victim's save dir with --restore -r 6
+            --resume_total: restores the mid-run checkpoint, replays
+            iterations 7..12 with the uninterrupted run's exact key/index
+            sequence, evals, writes the same keys as "full"
 """
 
 import json
@@ -23,6 +33,7 @@ import sys
 
 def main() -> None:
     out_json, save_dir, nprocs, pid, port, stream = sys.argv[1:7]
+    mode = sys.argv[7] if len(sys.argv) > 7 else "eval"
     nprocs, pid = int(nprocs), int(pid)
 
     import jax
@@ -62,10 +73,47 @@ def main() -> None:
         metrics_every=2,
         no_final_eval=True,
     )
+    if mode in ("full", "victim", "resume"):
+        # kill/resume protocol: 12 total iterations, mid-run checkpoint at
+        # step 6, pnm annealing ENGAGED (the schedule depends on num_iter, so
+        # this proves --resume_total reproduces it, not just the neutral case)
+        cfg = cfg.replace(
+            num_iter=12, save_interval=5, pnm_start=1e3, metrics_every=3
+        )
+        if mode == "resume":
+            cfg = cfg.replace(restore=True, restore_num=6, resume_total=True)
     sinos, theta = _synthetic_problem(cfg, n_pixel=12, num_angles=8)
 
     tr = Trainer(cfg, sinograms=sinos, theta=theta)
     tr.train()
+
+    if mode in ("full", "victim", "resume"):
+        # victim: the parent kills us once ckpt-6 exists; if the loop outran
+        # the kill, park here so SIGKILL is what ends the process either way
+        if mode == "victim":
+            import time as _time
+
+            while True:
+                _time.sleep(1.0)
+        assert int(tr.state.step) == 12, int(tr.state.step)
+        batch_idx = jnp.arange(cfg.batch_size, dtype=jnp.int32)
+        angle_idx = jnp.arange(cfg.angles_per_iter, dtype=jnp.int32)
+        _, loss, _ = tr._eval_step(
+            tr.state, tr.data, batch_idx, angle_idx, jax.random.PRNGKey(0)
+        )
+        loss_final = tr.final_evaluation()
+        if jax.process_index() == 0:
+            with open(out_json, "w") as f:
+                json.dump(
+                    {
+                        "loss": float(loss),
+                        "loss_final": float(loss_final),
+                        "step": int(tr.state.step),
+                        "process_count": jax.process_count(),
+                    },
+                    f,
+                )
+        return
 
     batch_idx = jnp.arange(cfg.batch_size, dtype=jnp.int32)
     angle_idx = jnp.arange(cfg.angles_per_iter, dtype=jnp.int32)

@@ -109,3 +109,75 @@ def test_two_process_streaming_batches_match(tmp_path, single_proc_result):
     res = _run_workers(tmp_path, nprocs=2, stream=True)
     assert res["loss"] == pytest.approx(single_proc_result["loss"], rel=2e-4)
     assert res["loss_restored"] == pytest.approx(res["loss"], rel=1e-6)
+
+
+def _launch(out_json, save_dir, nprocs, port, mode):
+    return [
+        subprocess.Popen(
+            [
+                sys.executable, _WORKER, out_json, save_dir, str(nprocs),
+                str(pid), str(port), "0", mode,
+            ],
+            env=_env(4 // nprocs),
+            cwd=_REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in range(nprocs)
+    ]
+
+
+def test_kill_and_resume_matches_uninterrupted(tmp_path):
+    """Elastic recovery (SURVEY §5.3-5.4): SIGKILL both workers mid-training,
+    relaunch with --restore -r 6 --resume_total over the same save dir, and
+    the final state must match an uninterrupted run of the same total length
+    — including the engaged pnm annealing schedule and the exact per-step
+    key/index sequence."""
+    import signal
+    import time
+
+    # reference: uninterrupted 12-iteration 2-process run
+    full_json = str(tmp_path / "full.json")
+    procs = _launch(full_json, str(tmp_path / "run_full"), 2, _free_port(), "full")
+    outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"full worker failed:\n{out[-4000:]}"
+    with open(full_json) as f:
+        full = json.load(f)
+    assert full["step"] == 12
+
+    # victim fleet: kill EVERY process (by exact pid) once ckpt-6 lands
+    save_dir = str(tmp_path / "run_killed")
+    ckpt6 = os.path.join(save_dir, "training_checkpoints", "ckpt-6.msgpack")
+    victim_json = str(tmp_path / "victim.json")
+    procs = _launch(victim_json, save_dir, 2, _free_port(), "victim")
+    deadline = time.time() + 900
+    try:
+        while not os.path.exists(ckpt6):
+            assert time.time() < deadline, "victim never reached ckpt-6"
+            for p in procs:
+                assert p.poll() is None, (
+                    "victim exited before the kill:\n"
+                    + p.communicate()[0].decode()[-4000:]
+                )
+            time.sleep(0.5)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.send_signal(signal.SIGKILL)
+        for p in procs:
+            p.communicate(timeout=60)
+    assert all(p.returncode != 0 for p in procs), "SIGKILL should be unclean"
+    assert not os.path.exists(victim_json), "victim must not have finished"
+
+    # resume over the same save dir; must replay to the uninterrupted state
+    resume_json = str(tmp_path / "resume.json")
+    procs = _launch(resume_json, save_dir, 2, _free_port(), "resume")
+    outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"resume worker failed:\n{out[-4000:]}"
+    with open(resume_json) as f:
+        res = json.load(f)
+    assert res["step"] == 12
+    assert res["loss"] == pytest.approx(full["loss"], rel=1e-5)
+    assert res["loss_final"] == pytest.approx(full["loss_final"], rel=1e-5)

@@ -288,3 +288,39 @@ def test_batch_tile_vmem_budget_512():
     assert tile * 512 * 512 * 4 <= _VMEM_BLOCK_BYTES
     assert b_pad % tile == 0 and b_pad >= 32
     assert tile >= 8
+
+
+def test_pallas_fused_256_stretch_geometry():
+    """Stretch-scale shape check (round-3 VERDICT Next #2, CPU slice of the
+    512^2 configuration): the fused kernel at 256^2 with a 360-angle table
+    subset must match the XLA gather projector and keep its exact-transpose
+    adjoint, exercising the VMEM batch-tiling path a 512^2 TPU run uses."""
+    from ct_pvae_tpu.ops.pallas_radon import angle_table_fused, radon_pallas_fused
+    from ct_pvae_tpu.ops.radon import num_proj_pixels, radon
+
+    n = 256
+    n_det = num_proj_pixels(n, n)
+    theta_all = np.linspace(0, np.pi, 360, endpoint=False).astype(np.float32)
+    sub = theta_all[::60]                       # 6 of 360 angles (CPU budget)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (2, n, n)).astype(np.float32))
+
+    table = jnp.asarray(angle_table_fused(theta_all, n, n, n_det))
+    scal = table[::60]
+    out = radon_pallas_fused(img, scal, n_det, True)
+    assert out.shape == (2, len(sub), n_det)
+
+    # gather-projector oracle on the zero-padded image (the kernel's
+    # unpadded table projects onto the same detector, vi/train.py note)
+    ref = radon(img, jnp.asarray(sub), pad=True, n_det=n_det)
+    denom = np.abs(np.asarray(ref)).max()
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / denom
+    assert rel < 2e-2, rel
+
+    # adjoint exactness: <Ax, y> == <x, A^T y> through the custom VJP
+    sino = jnp.asarray(rng.uniform(0, 1, out.shape).astype(np.float32))
+    fwd = lambda x: jnp.vdot(radon_pallas_fused(x, scal, n_det, True), sino)
+    adj = jax.grad(fwd)(img)
+    lhs = float(jnp.vdot(out, sino))
+    rhs = float(jnp.vdot(img, adj))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
