@@ -207,3 +207,37 @@ def test_run_foam_mcmc_smc(tmp_path):
     assert np.isfinite(out["mean"]).all()
     assert float(out["diag"]["beta"]) == pytest.approx(1.0)
     assert os.path.exists(run / "smc_posterior_mean.npy")
+
+
+def test_cli_mcmc_foam(tmp_path, monkeypatch):
+    """`cli mcmc --model foam` end to end over a synthetic run dir."""
+    from ct_pvae_tpu.cli import main
+    from ct_pvae_tpu.config import Config
+
+    gt, theta, mask, meas, n_det = _measurement()
+    monkeypatch.chdir(tmp_path)
+    run = tmp_path / "run"
+    ds = tmp_path / "dataset_tiny"
+    run.mkdir()
+    ds.mkdir()
+    np.save(ds / "x_train_sinograms.npy", meas[None])
+    np.save(
+        ds / "dataset_parameters.npy",
+        np.array([theta, float(n_det)], object),
+        allow_pickle=True,
+    )
+    np.save(run / "all_masks.npy", mask[None])
+    np.save(run / "all_proj_samples.npy", meas[None])
+    init = _partial_fbp(meas, mask, theta, n_det)
+    np.save(run / "all_input_encode.npy", init[None, :, :, None])
+    Config(
+        input_path=str(ds), save_path=str(run), poisson_noise_multiplier=PNM
+    ).save(str(run / "config.json"))
+
+    rc = main([
+        "mcmc", "--model", "foam", "--save_path", str(run),
+        "-s", "16", "-b", "16", "--chains", "4", "--sampler", "nuts",
+        "--prior", "smooth", "--prior_weight", "5.0",
+    ])
+    assert rc == 0
+    assert os.path.exists(run / "mcmc_posterior_mean.npy")
