@@ -71,8 +71,11 @@ def main() -> int:
             except subprocess.TimeoutExpired:
                 pass
             last = mtime_or_zero(metrics)
-            quiet = time.time() - max(last, started if last == 0 else last)
-            allowed = args.setup_grace if last == 0 else args.stall_secs
+            # staleness is measured against the LATER of the last metrics
+            # flush and this launch — a resumed run inherits a stale file
+            # and must get the setup grace period, not an instant kill
+            quiet = time.time() - max(last, started)
+            allowed = args.setup_grace if last <= started else args.stall_secs
             if quiet > allowed:
                 print(f"[resilient] stall: metrics quiet {quiet:.0f}s > {allowed:.0f}s; killing pid {proc.pid}", flush=True)
                 proc.send_signal(signal.SIGKILL)
