@@ -203,6 +203,12 @@ def run_foam_mcmc(
 
     t0 = time.time()
     dim = x_size * y_size
+    # Every device call below is bounded to ~one chunk of outer steps.  A
+    # sample_chain-style single execution (minutes of device time in ONE XLA
+    # program) is exactly the shape long-running remote runtimes kill; the
+    # continuation inputs (state / step size / inv mass / beta) make chunked
+    # dispatch cost one host round trip per chunk and nothing else, and the
+    # posterior moments accumulate on device between readbacks.
     if sampler == "smc":
         from ..mcmc.image_model import image_log_prior, softplus_log_det_jacobian
 
@@ -213,69 +219,96 @@ def run_foam_mcmc(
         def log_lik_fn(x):
             return log_prob(x) - log_prior_fn(x)
 
+        total_stages = max(number_of_steps // SMCConfig().mutation_steps, 8)
+        stage_chunk = max(4, chunk // 8)
         scfg = SMCConfig(
-            num_particles=num_chains,
-            num_stages=max(number_of_steps // SMCConfig().mutation_steps, 8),
-            step_size=1e-2,
+            num_particles=num_chains, num_stages=stage_chunk, step_size=1e-2
         )
-        particles, diag = smc_sample(log_prior_fn, log_lik_fn, init, k_run, scfg)
+        particles = init
+        beta = jnp.float32(0.0)
+        ss = jnp.float32(scfg.step_size)
+        lev = jnp.float32(0.0)
+        diag = {}
+        done = 0
+        while done < total_stages:
+            k_run, kc = jax.random.split(k_run)
+            particles, diag = smc_sample(
+                log_prior_fn, log_lik_fn, particles, kc, scfg,
+                beta0=beta, step_size0=ss, log_evidence0=lev,
+            )
+            beta = diag["beta"]
+            ss = diag["final_step_size"]
+            lev = diag["log_evidence"]
+            done += stage_chunk
         o = softplus_forward(particles).reshape(num_chains, x_size, y_size)
         mean = jnp.mean(o, axis=0)
         std = jnp.std(o, axis=0)
         draws = num_chains
     else:
-        # warmup + chunked draws: the (chunk, C, D) trace never exceeds a few
-        # tens of MB regardless of the requested number_of_steps
         if sampler == "nuts":
-            ncfg = NUTSConfig(
-                num_results=min(chunk, number_of_steps),
-                num_burnin=burnin, step_size=1e-2, max_depth=max_depth,
-            )
-            run_chunk = lambda st, k, im, ss, c: nuts_sample(
-                log_prob, st, k, c, inv_mass0=im, step_size0=ss
+            # adapt_mass=False at image scale: pixel-space posterior scales
+            # are near-homogeneous (one softplus intensity per pixel) and
+            # the Welford window cannot span chunked calls; step size keeps
+            # adapting across warmup chunks via the continuation input
+            warm_cfg = NUTSConfig(
+                num_results=0, num_burnin=chunk, step_size=1e-2,
+                max_depth=max_depth, adapt_mass=False,
             )
             cont_cfg = NUTSConfig(
                 num_results=chunk, num_burnin=0, step_size=1e-2,
                 max_depth=max_depth, adapt_step_size=False, adapt_mass=False,
             )
+
+            def warm_chunk(st, k, ss):
+                _, d = nuts_sample(log_prob, st, k, warm_cfg, step_size0=ss)
+                return d["final_state"], d["final_step_size"], d
+
+            def draw_chunk(st, k, ss):
+                return nuts_sample(log_prob, st, k, cont_cfg, step_size0=ss)
+
         else:  # hmc
-            ncfg = HMCConfig(
-                num_results=min(chunk, number_of_steps), num_burnin=burnin,
-                step_size=1e-3, num_adaptation=burnin,
+            warm_hcfg = HMCConfig(
+                num_results=1, num_burnin=chunk - 1, num_leapfrog=5,
+                step_size=1e-3, num_adaptation=chunk,
             )
-            run_chunk = None  # single-call path below
-        if sampler == "hmc":
-            samples, diag = hmc_sample(log_prob, init, k_run, ncfg)
-            o = softplus_forward(samples)
-            mean = jnp.mean(o, axis=(0, 1)).reshape(x_size, y_size)
-            std = jnp.std(o, axis=(0, 1)).reshape(x_size, y_size)
-            draws = samples.shape[0] * samples.shape[1]
-        else:
+            cont_hcfg = HMCConfig(
+                num_results=chunk, num_burnin=0, num_leapfrog=5,
+                step_size=1e-3, num_adaptation=0,
+            )
+
+            def warm_chunk(st, k, ss):
+                _, d = hmc_sample(log_prob, st, k, warm_hcfg, step_size0=ss)
+                return d["final_state"], d["final_step_size_per_chain"], d
+
+            def draw_chunk(st, k, ss):
+                return hmc_sample(log_prob, st, k, cont_hcfg, step_size0=ss)
+
+        state = init
+        step_size = None
+        burned = 0
+        while burned < burnin:
             k_run, kc = jax.random.split(k_run)
-            samples, diag = run_chunk(init, kc, None, None, ncfg)
+            state, step_size, _ = warm_chunk(state, kc, step_size)
+            burned += chunk
+        s1 = jnp.zeros((dim,), jnp.float32)
+        s2 = jnp.zeros((dim,), jnp.float32)
+        cnt = 0
+        remaining = number_of_steps
+        while remaining > 0:
+            k_run, kc = jax.random.split(k_run)
+            samples, diag = draw_chunk(state, kc, step_size)
             o = softplus_forward(samples)
-            cnt = o.shape[0] * o.shape[1]
-            s1 = jnp.sum(o, axis=(0, 1))
-            s2 = jnp.sum(o * o, axis=(0, 1))
+            take = min(remaining, o.shape[0])
+            o = o[:take]
+            cnt += take * o.shape[1]
+            s1 = s1 + jnp.sum(o, axis=(0, 1))
+            s2 = s2 + jnp.sum(o * o, axis=(0, 1))
             state = diag["final_state"]
-            inv_mass = diag["inv_mass"]
-            step_size = diag["final_step_size"]
-            remaining = number_of_steps - ncfg.num_results
-            while remaining > 0:
-                k_run, kc = jax.random.split(k_run)
-                samples, diag = run_chunk(state, kc, inv_mass, step_size, cont_cfg)
-                o = softplus_forward(samples)
-                take = min(remaining, o.shape[0])
-                o = o[:take]
-                cnt += take * o.shape[1]
-                s1 = s1 + jnp.sum(o, axis=(0, 1))
-                s2 = s2 + jnp.sum(o * o, axis=(0, 1))
-                state = diag["final_state"]
-                remaining -= take
-            mean = (s1 / cnt).reshape(x_size, y_size)
-            var = jnp.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)
-            std = jnp.sqrt(var).reshape(x_size, y_size)
-            draws = cnt
+            remaining -= take
+        mean = (s1 / cnt).reshape(x_size, y_size)
+        var = jnp.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)
+        std = jnp.sqrt(var).reshape(x_size, y_size)
+        draws = cnt
     mean = np.asarray(mean)
     std = np.asarray(std)
     dt = time.time() - t0

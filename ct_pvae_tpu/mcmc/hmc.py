@@ -66,6 +66,9 @@ def hmc_sample(
     init_state: Array,             # (C, D) chains x dims, unconstrained space
     key: jax.Array,
     cfg: HMCConfig = HMCConfig(),
+    step_size0: Array = None,      # traced continuation: scalar or (C,) step
+                                   # size from a prior call's diagnostics —
+                                   # chunked drivers bound per-call device time
 ) -> Tuple[Array, dict]:
     """Run HMC; returns (samples (num_results, C, D), diagnostics).
 
@@ -114,7 +117,13 @@ def hmc_sample(
         step_size = jnp.exp(log_step)
         return (x, step_size, key), (x, accept_prob)
 
-    init = (init_state, jnp.full((num_chains,), cfg.step_size, jnp.float32), key)
+    if step_size0 is None:
+        ss0 = jnp.full((num_chains,), cfg.step_size, jnp.float32)
+    else:
+        ss0 = jnp.broadcast_to(
+            jnp.asarray(step_size0, jnp.float32), (num_chains,)
+        )
+    init = (init_state, ss0, key)
     (xf, final_step, _), (xs, accepts) = jax.lax.scan(
         scan_body, init, jnp.arange(total)
     )

@@ -57,6 +57,10 @@ def smc_sample(
     init_particles: Array,       # (N, D) draws from the prior (unconstrained space)
     key: jax.Array,
     cfg: SMCConfig = SMCConfig(),
+    beta0: Array = None,          # traced continuation inputs: resume a
+    step_size0: Array = None,     # tempering run from a prior call's diag
+    log_evidence0: Array = None,  # (bounded per-call device time — image-
+                                  # scale drivers chunk the stage loop)
 ) -> Tuple[Array, dict]:
     """Returns (particles (N, D) at beta=1, diagnostics)."""
     n = init_particles.shape[0]
@@ -169,12 +173,20 @@ def smc_sample(
 
     init = Carry(
         particles=init_particles,
-        beta=jnp.float32(0.0),
+        beta=jnp.float32(0.0) if beta0 is None else jnp.asarray(beta0, jnp.float32),
         key=key,
-        log_evidence=jnp.float32(0.0),
+        log_evidence=(
+            jnp.float32(0.0)
+            if log_evidence0 is None
+            else jnp.asarray(log_evidence0, jnp.float32)
+        ),
         stages_used=jnp.int32(0),
         accept=jnp.float32(1.0),
-        step_size=jnp.float32(cfg.step_size),
+        step_size=(
+            jnp.float32(cfg.step_size)
+            if step_size0 is None
+            else jnp.asarray(step_size0, jnp.float32)
+        ),
     )
     out, _ = jax.lax.scan(stage, init, None, length=cfg.num_stages)
     return out.particles, {
