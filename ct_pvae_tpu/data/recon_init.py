@@ -114,6 +114,13 @@ def classical_recon_stack(
 
     size = p  # reconstruct at detector resolution, then crop (like tomopy)
 
+    # Bound per-dispatch device work: the batch was tuned for the 184-pixel
+    # foam geometry; at stretch scale (728-pixel detector, 512^2 recon) a
+    # 32-image FBP/SIRT/TV batch is one enormous XLA execution — the shape
+    # that long-running remote runtimes kill (BENCH.md image-MCMC note).
+    # Scale the batch with detector area so each call stays comparable.
+    batch = max(1, min(batch, int(batch * (184.0 / size) ** 2)))
+
     # SIRT (30) + TV (60) fwd+adj applications dominate this stage.  Angles
     # are concrete here, so on TPU route them through the Pallas MXU kernel
     # pair (exact-transpose adjoint) instead of the XLA gather projector —

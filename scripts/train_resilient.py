@@ -52,11 +52,17 @@ def main() -> int:
     metrics = os.path.join(args.save_path, "metrics.jsonl")
     ckpt_dir = os.path.join(args.save_path, "training_checkpoints")
     restarts = 0
-    resume = any(
-        f.startswith("ckpt-") and f.endswith(".msgpack")
-        for f in (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
-    )
+
+    def have_ckpt() -> bool:
+        return any(
+            f.startswith("ckpt-") and f.endswith(".msgpack")
+            for f in (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
+        )
+
     while True:
+        # re-check each launch: a run killed during SETUP has no checkpoint
+        # yet, and --restore would fail fast in a crash loop
+        resume = have_ckpt()
         cmd = [sys.executable, "-m", "ct_pvae_tpu.cli", "train",
                "--save_path", args.save_path] + train_args
         if resume:
@@ -89,7 +95,6 @@ def main() -> int:
         if restarts > args.max_restarts:
             print("[resilient] giving up after max restarts", flush=True)
             return 1
-        resume = True
         print(f"[resilient] cooloff {args.cooloff:.0f}s for device lease", flush=True)
         time.sleep(args.cooloff)
 
