@@ -234,6 +234,7 @@ def backproject(
     theta: Array,
     x_size: int,
     y_size: int,
+    angle_chunk: int = 32,
 ) -> Array:
     """Pixel-driven (unfiltered) backprojection — adjoint-style operator.
 
@@ -242,6 +243,13 @@ def backproject(
     vectorized form of reference fbp_tensorflow.py:52-72, which loops angles in
     Python).  Edge values are clamped (constant extension), matching
     tfp.math.interp_regular_1d_grid's default used by the reference.
+
+    The angle sum runs as a ``lax.scan`` over ``angle_chunk``-sized angle
+    blocks: materializing all (A, X, Y) interpolation coordinates at once is
+    fine at the 184-pixel foam geometry but allocates ~100 GB at stretch
+    scale (360 angles x 728^2 under remat — the compile-time OOM that blocked
+    the 512^2 configuration), while chunking bounds live memory at
+    chunk x X x Y with identical results (the angle sum is associative).
 
     Args:
       sinogram: (..., A, P)
@@ -252,28 +260,46 @@ def backproject(
     a, p = sinogram.shape[-2], sinogram.shape[-1]
     batch_shape = sinogram.shape[:-2]
     sino_flat = sinogram.reshape((-1, a, p))
+    b = sino_flat.shape[0]
 
     cx = (x_size - 1) / 2.0
     cy = (y_size - 1) / 2.0
     ct = (p - 1) / 2.0
     xg = (jnp.arange(x_size, dtype=jnp.float32) - cx)[:, None]
     yg = (jnp.arange(y_size, dtype=jnp.float32) - cy)[None, :]
-    cos = jnp.cos(theta).astype(jnp.float32)[:, None, None]
-    sin = jnp.sin(theta).astype(jnp.float32)[:, None, None]
-    t = yg[None] * cos - xg[None] * sin + ct  # (A, X, Y)
 
-    t0 = jnp.floor(t)
-    wt = t - t0
-    i0 = jnp.clip(t0, 0, p - 1).astype(jnp.int32)
-    i1 = jnp.clip(t0 + 1, 0, p - 1).astype(jnp.int32)
+    chunk = max(1, min(int(angle_chunk), a))
+    pad = (-a) % chunk
+    theta_p = jnp.pad(jnp.asarray(theta, jnp.float32), (0, pad))
+    # padded angles contribute through zero sinogram rows -> exact no-op
+    sino_p = jnp.pad(sino_flat, ((0, 0), (0, pad), (0, 0)))
+    n_ch = (a + pad) // chunk
+    theta_ch = theta_p.reshape(n_ch, chunk)
+    sino_ch = jnp.moveaxis(sino_p.reshape(b, n_ch, chunk, p), 1, 0)  # (n_ch, B, chunk, P)
 
-    def interp(sino_b):  # (A, P) -> (X, Y)
-        v0 = jnp.take_along_axis(sino_b[:, None, :], i0.reshape(a, 1, -1), axis=-1)
-        v1 = jnp.take_along_axis(sino_b[:, None, :], i1.reshape(a, 1, -1), axis=-1)
-        v = v0 * (1 - wt.reshape(a, 1, -1)) + v1 * wt.reshape(a, 1, -1)
-        return jnp.sum(v.reshape(a, x_size, y_size), axis=0)
+    def one_chunk(acc, xs):
+        th_c, sino_c = xs                       # (chunk,), (B, chunk, P)
+        cos = jnp.cos(th_c)[:, None, None]
+        sin = jnp.sin(th_c)[:, None, None]
+        t = yg[None] * cos - xg[None] * sin + ct  # (chunk, X, Y)
+        t0 = jnp.floor(t)
+        wt = (t - t0).reshape(chunk, 1, -1)
+        i0 = jnp.clip(t0, 0, p - 1).astype(jnp.int32).reshape(chunk, 1, -1)
+        i1 = jnp.clip(t0 + 1, 0, p - 1).astype(jnp.int32).reshape(chunk, 1, -1)
 
-    out = jax.vmap(interp)(sino_flat)
+        def interp(sino_b):  # (chunk, P) -> (X, Y)
+            v0 = jnp.take_along_axis(sino_b[:, None, :], i0, axis=-1)
+            v1 = jnp.take_along_axis(sino_b[:, None, :], i1, axis=-1)
+            v = v0 * (1 - wt) + v1 * wt
+            return jnp.sum(v.reshape(chunk, x_size, y_size), axis=0)
+
+        return acc + jax.vmap(interp)(sino_c), None
+
+    out, _ = jax.lax.scan(
+        one_chunk,
+        jnp.zeros((b, x_size, y_size), jnp.float32),
+        (theta_ch, sino_ch),
+    )
     return out.reshape(batch_shape + (x_size, y_size))
 
 
