@@ -13,12 +13,39 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .radon import backproject
 
 Array = jnp.ndarray
+
+
+def _backproject_any(filtered: Array, theta, x_size: int, y_size: int) -> Array:
+    """Route the backprojection by geometry.
+
+    The pixel-driven gather backprojector is the reference-semantics path
+    (every committed 184-detector run was scored with it), but its gather
+    index buffers pad 64x on TPU lanes and exhaust HBM at stretch scale
+    (728-pixel detector, 360 angles).  Big square geometries on TPU route to
+    the Pallas MXU adjoint kernel instead (the exact transpose of the Joseph
+    forward — proven at 512^2-class shapes, BENCH.md), which differs from
+    the pixel-driven path only in interpolation discretization.
+    """
+    p = filtered.shape[-1]
+    if p >= 512 and x_size == y_size and jax.default_backend() == "tpu":
+        try:
+            theta_t = tuple(float(t) for t in np.asarray(theta))
+        except Exception:
+            theta_t = None  # traced angles: stay on the gather path
+        if theta_t is not None:
+            from .pallas_radon import backproject_pallas
+
+            flat = filtered.reshape((-1,) + filtered.shape[-2:])
+            out = backproject_pallas(flat, theta_t, x_size, y_size)
+            return out.reshape(filtered.shape[:-2] + (x_size, y_size))
+    return backproject(filtered, theta, x_size, y_size)
 
 FILTERS = ("ramp", "ramlak", "shepp", "shepp-logan", "cosine", "hamming", "hann", "none")
 
@@ -132,10 +159,10 @@ def fbp(
     filtered = filter_sinogram(sinogram, filter_name)
     if angle_weights == "voronoi":
         w = voronoi_angle_weights(jnp.asarray(theta))
-        recon = backproject(filtered * w[..., :, None], theta, x_size, y_size)
+        recon = _backproject_any(filtered * w[..., :, None], theta, x_size, y_size)
         return recon * 0.5
     if angle_weights != "uniform":
         raise ValueError(f"unknown angle_weights {angle_weights!r}")
-    recon = backproject(filtered, theta, x_size, y_size)
+    recon = _backproject_any(filtered, theta, x_size, y_size)
     # Classical FBP normalization (reference fbp_tensorflow.py:74).
     return recon * (math.pi / (2.0 * a))
