@@ -321,7 +321,7 @@ def cmd_mcmc(argv) -> int:
 
         run_foam_mcmc(
             save_path=args.save_path,
-            number_of_steps=args.number_of_steps or 2000,
+            number_of_steps=args.number_of_steps if args.number_of_steps is not None else 2000,
             burnin=args.burnin if args.burnin is not None else 1000,
             example_num=args.example_num,
             poisson_noise_multiplier=args.pnm,
@@ -437,7 +437,7 @@ def cmd_sweep(argv) -> int:
     )
     results = sweep(
         base, space,
-        num_trials=args.trials or int(spec.get("num_trials", 8)),
+        num_trials=args.trials if args.trials is not None else int(spec.get("num_trials", 8)),
         mode=args.mode or spec.get("mode", "random"),
         save_root=args.save_root,
         processes=args.processes,
@@ -619,7 +619,10 @@ def cmd_bench_samplers(argv) -> int:
         n_det = num_proj_pixels(h, h)
         proj_f = radon_fast(gt[None], jnp.asarray(theta_f), pad=True)[0]
         mask_f = np.zeros(180, np.float32)
-        mask_f[:: 180 // args.nsa] = 1.0 / args.nsa
+        # stride floor + count-derived dose so nsa values that do not divide
+        # 180 stay consistent (measured-angle count == normalization)
+        mask_f[:: max(1, 180 // args.nsa)] = 1.0
+        mask_f *= 1.0 / mask_f.sum()
         pm = jnp.clip(proj_f * mask_f[:, None], 0, None)
         meas_f = jax.random.poisson(jax.random.PRNGKey(5), pm * args.pnm) / args.pnm
         used_f = mask_f > 0

@@ -30,6 +30,20 @@ from ..prob.distributions import toy_prior
 _EPS = float(np.finfo(np.float32).eps)
 
 
+def _scalar_diag(diag: dict) -> dict:
+    """Scalar-valued summary of a sampler diag dict (skips array/tuple state
+    like final_state / inv_mass / the Welford continuation triple)."""
+    out = {}
+    for k, v in diag.items():
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (ValueError, TypeError):
+            continue
+        if a.size == 1:
+            out[k] = float(a)
+    return out
+
+
 def run_toy_mcmc(
     save_path: str,
     number_of_steps: int = 200000,
@@ -109,7 +123,7 @@ def run_toy_mcmc(
             samples.shape[0], -1, 4
         )
     )
-    print(f"{sampler} done in {(time.time()-t0)/60:.2f} min; diag={ {k: float(np.asarray(v).mean()) for k, v in diag.items() if np.asarray(v).size==1} }")
+    print(f"{sampler} done in {(time.time()-t0)/60:.2f} min; diag={_scalar_diag(diag)}")
     np.save(os.path.join(save_path, "posterior_prob_trace.npy"), trace.reshape(-1, 4))
 
     try:
@@ -158,17 +172,27 @@ def run_foam_mcmc(
     ((x, y) images) under ``save_path`` and returns
     {"mean", "std", "diag", "psnr_mcmc", "psnr_init"} — the PSNRs against
     ground truth (when resolvable from the dataset path) for the posterior
-    mean and for the classical init it started from.
+    mean and for the classical init it started from.  For the nuts/hmc
+    samplers the returned diag also carries convergence evidence over the
+    retained draws (mcmc/diagnostics.py): ``rhat_max``/``rhat_med`` split
+    R-hat and ``ess_min``/``ess_med`` per-pixel effective sample sizes —
+    the numbers that decide whether the mean/std maps are posterior
+    estimates or local refinements.
     """
     from ..config import Config
     from ..data import io as data_io
     from ..mcmc import NUTSConfig, SMCConfig, nuts_sample, smc_sample, HMCConfig, hmc_sample
+    from ..mcmc.diagnostics import effective_sample_size, split_rhat
     from ..mcmc.image_model import (
+        estimate_curvature_diag,
         init_chains_from_recon,
         make_image_log_prob,
         softplus_forward,
     )
     from .metrics import compare
+
+    if number_of_steps < 1:
+        raise ValueError(f"number_of_steps must be >= 1, got {number_of_steps}")
 
     cfg = Config.load(os.path.join(save_path, "config.json"))
     if input_path is None:
@@ -245,28 +269,92 @@ def run_foam_mcmc(
         std = jnp.std(o, axis=0)
         draws = num_chains
     else:
+        diag = {}
+        inv_mass = None
         if sampler == "nuts":
-            # adapt_mass=False at image scale: pixel-space posterior scales
-            # are near-homogeneous (one softplus intensity per pixel) and
-            # the Welford window cannot span chunked calls; step size keeps
-            # adapting across warmup chunks via the continuation input
+            # Preconditioned metric (r4 VERDICT Next #1): identity-metric
+            # NUTS on this target adapts to ~1e-6 step sizes because the
+            # per-pixel curvature of the pnm~1e4 Poisson + Charbonnier-TV
+            # posterior spans orders of magnitude.  inv_mass starts at
+            # 1/curvature (physics-informed Gauss-Newton + prior Hessian
+            # diagonal at the init point, mcmc/image_model.py), then Welford
+            # refines it ACROSS warmup chunks — the (count, mean, m2)
+            # continuation inputs make the variance window span chunked
+            # device calls exactly like step_size0/inv_mass0 already do —
+            # with the pooled estimate installed at 80% of burnin and dual
+            # averaging re-tuning the step size afterwards.
+            k_run, k_curv = jax.random.split(k_run)
+            curv = estimate_curvature_diag(
+                jnp.mean(init, axis=0), meas, theta_used, mask_used,
+                poisson_noise_multiplier, x_size, y_size,
+                prior=prior, prior_weight=prior_weight, key=k_curv,
+            )
+            inv_mass = 1.0 / curv
             warm_cfg = NUTSConfig(
                 num_results=0, num_burnin=chunk, step_size=1e-2,
                 max_depth=max_depth, adapt_mass=False,
+            )
+            accum_cfg = NUTSConfig(
+                num_results=0, num_burnin=chunk, step_size=1e-2,
+                max_depth=max_depth, adapt_mass=True,
+                welford_window=(0.0, 1.0), install_mass=False,
             )
             cont_cfg = NUTSConfig(
                 num_results=chunk, num_burnin=0, step_size=1e-2,
                 max_depth=max_depth, adapt_step_size=False, adapt_mass=False,
             )
 
-            def warm_chunk(st, k, ss):
-                _, d = nuts_sample(log_prob, st, k, warm_cfg, step_size0=ss)
-                return d["final_state"], d["final_step_size"], d
+            state = init
+            step_size = None
+            welford = (
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((dim,), jnp.float32),
+                jnp.zeros((dim,), jnp.float32),
+            )
+            n_chunks = max((burnin + chunk - 1) // chunk, 1)
+            accum_from = int(0.3 * n_chunks)
+            install_at = (
+                max(int(0.8 * n_chunks), accum_from + 1) if n_chunks >= 3 else None
+            )
+            for ci in range(n_chunks):
+                k_run, kc = jax.random.split(k_run)
+                accumulating = ci >= accum_from and (
+                    install_at is None or ci < install_at
+                )
+                if accumulating:
+                    _, d = nuts_sample(
+                        log_prob, state, kc, accum_cfg,
+                        inv_mass0=inv_mass, step_size0=step_size, welford0=welford,
+                    )
+                    welford = d["welford"]
+                else:
+                    _, d = nuts_sample(
+                        log_prob, state, kc, warm_cfg,
+                        inv_mass0=inv_mass, step_size0=step_size,
+                    )
+                state, step_size = d["final_state"], d["final_step_size"]
+                if install_at is not None and ci + 1 == install_at:
+                    # host-side install: pooled chain variance shrunk toward
+                    # the physics-informed metric (Stan's regularized window
+                    # estimate with 1/curvature in place of the unit scale)
+                    n = float(np.asarray(welford[0]))
+                    if n >= 8:
+                        var = np.asarray(welford[2]) / max(n - 1.0, 1.0)
+                        shrink = n / (n + 5.0)
+                        inv_mass = jnp.asarray(
+                            np.maximum(
+                                shrink * var + (1.0 - shrink) * np.asarray(inv_mass),
+                                1e-12,
+                            ),
+                            jnp.float32,
+                        )
 
             def draw_chunk(st, k, ss):
-                return nuts_sample(log_prob, st, k, cont_cfg, step_size0=ss)
+                return nuts_sample(
+                    log_prob, st, k, cont_cfg, inv_mass0=inv_mass, step_size0=ss
+                )
 
-        else:  # hmc
+        else:  # hmc (identity metric; kept for A/Bs against nuts)
             warm_hcfg = HMCConfig(
                 num_results=1, num_burnin=chunk - 1, num_leapfrog=5,
                 step_size=1e-3, num_adaptation=chunk,
@@ -275,25 +363,33 @@ def run_foam_mcmc(
                 num_results=chunk, num_burnin=0, num_leapfrog=5,
                 step_size=1e-3, num_adaptation=0,
             )
-
-            def warm_chunk(st, k, ss):
-                _, d = hmc_sample(log_prob, st, k, warm_hcfg, step_size0=ss)
-                return d["final_state"], d["final_step_size_per_chain"], d
+            state = init
+            step_size = None
+            burned = 0
+            while burned < burnin:
+                k_run, kc = jax.random.split(k_run)
+                _, d = hmc_sample(log_prob, state, kc, warm_hcfg, step_size0=step_size)
+                state, step_size = d["final_state"], d["final_step_size_per_chain"]
+                burned += chunk
 
             def draw_chunk(st, k, ss):
                 return hmc_sample(log_prob, st, k, cont_hcfg, step_size0=ss)
 
-        state = init
-        step_size = None
-        burned = 0
-        while burned < burnin:
-            k_run, kc = jax.random.split(k_run)
-            state, step_size, _ = warm_chunk(state, kc, step_size)
-            burned += chunk
         s1 = jnp.zeros((dim,), jnp.float32)
         s2 = jnp.zeros((dim,), jnp.float32)
         cnt = 0
         remaining = number_of_steps
+        # retained constrained draws for convergence diagnostics; when the
+        # full (T, C, D) trace would exceed the host budget, a fixed random
+        # pixel subset is scored instead (recorded in <prefix>_diag_dims.npy)
+        kept = []
+        keep_dims = None
+        if number_of_steps * num_chains * dim * 4 > 1.5e9:
+            n_keep = min(dim, max(int(1.5e9 // (number_of_steps * num_chains * 4)), 1024))
+            keep_dims = np.sort(
+                np.random.default_rng(0).choice(dim, size=n_keep, replace=False)
+            )
+            keep_dims_j = jnp.asarray(keep_dims)
         while remaining > 0:
             k_run, kc = jax.random.split(k_run)
             samples, diag = draw_chunk(state, kc, step_size)
@@ -303,16 +399,34 @@ def run_foam_mcmc(
             cnt += take * o.shape[1]
             s1 = s1 + jnp.sum(o, axis=(0, 1))
             s2 = s2 + jnp.sum(o * o, axis=(0, 1))
+            kept.append(np.asarray(o if keep_dims is None else o[:, :, keep_dims_j]))
             state = diag["final_state"]
             remaining -= take
         mean = (s1 / cnt).reshape(x_size, y_size)
         var = jnp.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)
         std = jnp.sqrt(var).reshape(x_size, y_size)
         draws = cnt
+
+        trace = np.concatenate(kept, axis=0)          # (T, C, D or n_keep)
+        rhat = split_rhat(trace)
+        ess = effective_sample_size(trace)
+        diag = dict(diag)
+        diag["rhat_max"] = float(np.max(rhat))
+        diag["rhat_med"] = float(np.median(rhat))
+        diag["ess_min"] = float(np.min(ess))
+        diag["ess_med"] = float(np.median(ess))
+        np.save(os.path.join(save_path, f"{output_prefix}_rhat.npy"), rhat)
+        np.save(os.path.join(save_path, f"{output_prefix}_ess.npy"), ess)
+        if keep_dims is not None:
+            np.save(os.path.join(save_path, f"{output_prefix}_diag_dims.npy"), keep_dims)
+        if inv_mass is not None:
+            diag["inv_mass_spread"] = float(
+                np.log10(np.max(np.asarray(inv_mass)) / np.min(np.asarray(inv_mass)))
+            )
     mean = np.asarray(mean)
     std = np.asarray(std)
     dt = time.time() - t0
-    dstr = {k: float(np.asarray(v).mean()) for k, v in diag.items() if np.asarray(v).size <= 4}
+    dstr = _scalar_diag(diag)
     print(
         f"foam {sampler} ({x_size}x{y_size}, {num_chains} chains): "
         f"{draws} draws in {dt:.1f} s ({draws / dt:.2f} draws/s); diag={dstr}"

@@ -258,6 +258,14 @@ def _surrogate_loop(
         # inf-safe: failed trials pinned above the worst finite value
         worst = y[finite].max() if finite.any() else 0.0
         y = np.where(finite, y, worst + 1.0)
+        # Diverged-but-finite trials (NaN-guarded runs return huge losses,
+        # e.g. 4.7e6 against a ~600 objective) wreck a cubic RBF interpolant
+        # fitted on raw values; cap at median + 10*IQR (the Gutmann-style
+        # large-value replacement) so the surrogate models the good region
+        # and merely marks the diverged points as bad.
+        if finite.sum() >= 4:
+            q1, med, q3 = np.percentile(y[finite], [25, 50, 75])
+            y = np.minimum(y, med + 10.0 * max(q3 - q1, 1e-9))
         surrogate = RBFSurrogate(np.asarray(evaluated), y)
         best_idx = int(np.argmin(y))
         n_batch = min(max(1, processes), num_trials - len(results))

@@ -38,22 +38,19 @@ def effective_sample_size(samples: np.ndarray) -> np.ndarray:
     var = np.where(var <= 0, 1e-300, var)
     rho = acov / var  # (T, D)
 
-    ess = np.empty(d)
-    for j in range(d):
-        # Geyer: sum of adjacent-pair autocorrelations while positive,
-        # enforced non-increasing
-        pair = rho[0:-1:2, j][: (t // 2)] + rho[1::2, j][: (t // 2)]
-        s = 0.0
-        prev = np.inf
-        for p in pair:
-            if p < 0:
-                break
-            p = min(p, prev)
-            prev = p
-            s += p
-        tau = max(2.0 * s - 1.0, 1.0)
-        ess[j] = t * c / tau
-    return ess
+    # Geyer: sum of adjacent-pair autocorrelations while positive, enforced
+    # non-increasing — vectorized over dimensions (image-scale studies score
+    # every pixel, so d can be 16384+)
+    n_pair = t // 2
+    pair = rho[0 : 2 * n_pair : 2] + rho[1 : 2 * n_pair : 2]   # (n_pair, D)
+    neg = pair < 0
+    first_neg = np.where(neg.any(axis=0), neg.argmax(axis=0), n_pair)  # (D,)
+    valid = np.arange(n_pair)[:, None] < first_neg[None, :]
+    # running-min enforcement == the sequential min(p, prev) clip
+    monotone = np.minimum.accumulate(pair, axis=0)
+    s = np.where(valid, monotone, 0.0).sum(axis=0)
+    tau = np.maximum(2.0 * s - 1.0, 1.0)
+    return t * c / tau
 
 
 def split_rhat(samples: np.ndarray) -> np.ndarray:

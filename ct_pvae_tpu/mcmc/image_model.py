@@ -95,6 +95,43 @@ def image_log_prior(o: Array, prior: str, weight: float) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def make_projector(
+    theta_used,
+    x_size: int,
+    y_size: int,
+    n_det: int,
+    use_pallas: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+) -> Callable[[Array], Array]:
+    """(H, W) -> (A_used, P) forward projector with the trainer's routing rule
+    (vi/train.py): Pallas MXU kernels for real geometries, XLA gather for
+    tiny/odd ones.  Linear in the image (the bilinear Joseph weights are fixed
+    by the geometry), which downstream curvature estimation relies on."""
+    theta_np = np.asarray(theta_used, np.float32)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if use_pallas is None:
+        use_pallas = n_det >= 64 and x_size == y_size
+
+    if use_pallas:
+        from ..ops.pallas_radon import angle_table_fused, radon_pallas_fused
+
+        # Joseph-method table for the UNPADDED square image projects onto the
+        # same n_det detector exactly (see vi/train.py skip_pad note)
+        table = jnp.asarray(angle_table_fused(theta_np, x_size, y_size, n_det))
+
+        def project(o_img: Array) -> Array:       # (H, W) -> (A_used, P)
+            return radon_pallas_fused(o_img[None], table, n_det, interpret)[0]
+
+    else:
+        theta_j = jnp.asarray(theta_np)
+
+        def project(o_img: Array) -> Array:
+            return radon(o_img[None], theta_j, pad=True, n_det=n_det)[0]
+
+    return project
+
+
 def make_image_log_prob(
     measurements: Array,        # (A_used, P) masked, dose-normalized noisy sinogram
     theta_used: Array,          # (A_used,) angles with nonzero mask
@@ -123,30 +160,7 @@ def make_image_log_prob(
     pnm = jnp.float32(poisson_noise_multiplier)
     meas = jnp.asarray(measurements, jnp.float32)
     mask_used = jnp.asarray(mask_used, jnp.float32)
-    theta_np = np.asarray(theta_used, np.float32)
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if use_pallas is None:
-        # same routing rule as the trainer (vi/train.py): MXU kernels for
-        # real geometries, XLA gather for tiny/odd ones
-        use_pallas = n_det >= 64 and x_size == y_size
-
-    if use_pallas:
-        from ..ops.pallas_radon import angle_table_fused, radon_pallas_fused
-
-        # Joseph-method table for the UNPADDED square image projects onto the
-        # same n_det detector exactly (see vi/train.py skip_pad note)
-        table = jnp.asarray(angle_table_fused(theta_np, x_size, y_size, n_det))
-
-        def project(o_img: Array) -> Array:       # (H, W) -> (A_used, P)
-            return radon_pallas_fused(o_img[None], table, n_det, interpret)[0]
-
-    else:
-        theta_j = jnp.asarray(theta_np)
-
-        def project(o_img: Array) -> Array:
-            return radon(o_img[None], theta_j, pad=True, n_det=n_det)[0]
+    project = make_projector(theta_used, x_size, y_size, n_det, use_pallas, interpret)
 
     def log_prob(x: Array) -> Array:
         o_img = softplus_forward(x).reshape(x_size, y_size)
@@ -159,6 +173,83 @@ def make_image_log_prob(
         )
 
     return log_prob
+
+
+def estimate_curvature_diag(
+    x0: Array,                  # (D,) unconstrained point (e.g. mean chain init)
+    measurements: Array,
+    theta_used,
+    mask_used: Array,
+    poisson_noise_multiplier: float,
+    x_size: int,
+    y_size: int,
+    prior: str = "tv",
+    prior_weight: float = 10.0,
+    key: jax.Array = None,
+    num_probes: int = 64,
+    floor_frac: float = 1e-3,
+    use_pallas: Optional[bool] = None,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Physics-informed diagonal curvature of -log p(x | M) at ``x0``.
+    Returns (D,) positive values; ``1/diag`` is the preconditioned NUTS metric
+    (inv_mass) that keeps the image-scale posterior steppable — identity-metric
+    NUTS on this target adapts to ~1e-6 step sizes (BENCH.md image-scale
+    caveat (a)) because per-pixel curvature spans orders of magnitude.
+
+    Two pieces, both exact up to Hutchinson MC error (Rademacher probes):
+
+    * Likelihood Gauss-Newton term.  The projector is linear, so with
+      J = d(counts)/dx = pnm * mask * A * diag(sigmoid(x)) and
+      W = d^2(-loglik)/d(counts)^2 = y/counts^2 (true Poisson), the GN
+      diagonal is E[v * J^T(W * (J v))] — one forward + one adjoint projector
+      call per probe.  This sidesteps the Pallas custom_vjp's higher-order
+      autodiff restriction entirely (no grad-of-grad is taken through the
+      kernel; the adjoint comes from the linear map's own VJP).
+    * Prior + softplus log-det term.  Standard differentiable ops, so the
+      exact HVP via forward-over-reverse works: E[v * H v].
+
+    Negative/near-zero estimates (nonconvex directions, MC noise) are floored
+    at ``floor_frac`` x the median positive curvature.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_det = int(measurements.shape[-1])
+    pnm = jnp.float32(poisson_noise_multiplier)
+    meas = jnp.asarray(measurements, jnp.float32)
+    mask_used = jnp.asarray(mask_used, jnp.float32)
+    project = make_projector(theta_used, x_size, y_size, n_det, use_pallas, interpret)
+
+    def counts_of_image(o_flat: Array) -> Array:   # linear map (D,) -> (A, P)
+        return project(o_flat.reshape(x_size, y_size)) * mask_used[:, None] * pnm
+
+    def local_neg_logp(x: Array) -> Array:         # -(prior + logdet), no projector
+        o_img = softplus_forward(x).reshape(x_size, y_size)
+        return -(image_log_prior(o_img, prior, prior_weight) + softplus_log_det_jacobian(x))
+
+    @jax.jit
+    def run(x0, key):
+        s = jax.nn.sigmoid(x0)                      # d softplus / dx
+        o0 = softplus_forward(x0)
+        lam = jnp.maximum(counts_of_image(o0), 1e-6)
+        w = (meas * pnm) / (lam * lam)              # Poisson: d2(-ll)/dlam2
+        _, adjoint = jax.vjp(counts_of_image, o0)
+        grad_local = jax.grad(local_neg_logp)
+
+        def probe(acc, k):
+            v = jax.random.rademacher(k, x0.shape, jnp.float32)
+            jv = counts_of_image(s * v)
+            gn = s * adjoint(w * jv)[0]             # J^T W J v
+            hv_local = jax.jvp(grad_local, (x0,), (v,))[1]
+            return acc + v * (gn + hv_local), None
+
+        acc, _ = jax.lax.scan(probe, jnp.zeros_like(x0), jax.random.split(key, num_probes))
+        diag = acc / num_probes
+        pos_med = jnp.nanmedian(jnp.where(diag > 0, diag, jnp.nan))
+        pos_med = jnp.where(jnp.isfinite(pos_med), jnp.maximum(pos_med, 1e-12), 1.0)
+        return jnp.clip(diag, floor_frac * pos_med, None)
+
+    return run(jnp.asarray(x0, jnp.float32), key)
 
 
 def init_chains_from_recon(

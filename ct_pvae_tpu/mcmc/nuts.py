@@ -48,12 +48,19 @@ class NUTSConfig(NamedTuple):
     gamma: float = 0.05
     kappa: float = 0.75
     # diagonal mass-matrix (Welford) adaptation: posterior variance is
-    # estimated over warmup iterations [0.1, 0.9)*num_burnin pooled across
-    # chains, applied at 0.9*num_burnin, and dual averaging restarts to
+    # estimated over warmup iterations [w0, w1)*num_burnin pooled across
+    # chains, applied at w1*num_burnin, and dual averaging restarts to
     # re-tune the step size under the new metric (the Stan windowing scheme,
-    # collapsed to one window).  Needs num_burnin >= 50 to engage.
+    # collapsed to one window).  Needs num_burnin >= 50 to engage, unless a
+    # chunked driver passes ``welford0`` (see nuts_sample).
     adapt_mass: bool = True
     mass_reg: float = 1e-3
+    # (w0, w1) fractions of num_burnin bounding the Welford window.  Chunked
+    # drivers that accumulate variance ACROSS calls set (0.0, 1.0) with
+    # install_mass=False: every burnin iteration feeds Welford, the install +
+    # dual-averaging restart happens host-side between chunks.
+    welford_window: Tuple[float, float] = (0.1, 0.9)
+    install_mass: bool = True
 
 
 def _popcount(n: Array) -> Array:
@@ -316,16 +323,20 @@ def nuts_sample(
     cfg: NUTSConfig = NUTSConfig(),
     inv_mass0: Array = None,   # (D,) continuation metric (default: identity)
     step_size0: Array = None,  # scalar continuation step size (default: cfg)
+    welford0: Tuple[Array, Array, Array] = None,  # (count, mean (D,), m2 (D,))
 ) -> Tuple[Array, dict]:
     """Run NUTS with dual-averaging + mass-matrix warmup; returns
     (samples (T, C, D), diagnostics).
 
-    ``inv_mass0``/``step_size0`` are TRACED continuation inputs: chunked
-    drivers (e.g. the image-scale foam posterior, whose full trace cannot
-    stay resident) resume from a finished call's ``diag["inv_mass"]`` /
-    ``diag["final_step_size"]`` / ``diag["final_state"]`` with
-    ``num_burnin=0`` and reuse the same compiled executable across chunks
-    because only array values change, never the static config.
+    ``inv_mass0``/``step_size0``/``welford0`` are TRACED continuation inputs:
+    chunked drivers (e.g. the image-scale foam posterior, whose full trace
+    cannot stay resident) resume from a finished call's ``diag["inv_mass"]`` /
+    ``diag["final_step_size"]`` / ``diag["final_state"]`` / ``diag["welford"]``
+    with ``num_burnin=0`` and reuse the same compiled executable across chunks
+    because only array values change, never the static config.  Passing
+    ``welford0`` (with ``cfg.welford_window=(0,1), install_mass=False``) makes
+    the posterior-variance estimate span chunk boundaries — the driver installs
+    the pooled estimate into ``inv_mass0`` itself at its chosen warmup point.
     """
     grad_fn = jax.grad(log_prob_fn)
     num_chains, dim = init_state.shape
@@ -335,10 +346,13 @@ def nuts_sample(
     )
 
     total = cfg.num_burnin + cfg.num_results
-    # mass-adaptation window (static python ints; disabled for short warmups)
-    do_mass = bool(cfg.adapt_mass) and cfg.num_burnin >= 50
-    w0 = int(0.1 * cfg.num_burnin)
-    w1 = int(0.9 * cfg.num_burnin)
+    # mass-adaptation window (static python ints; disabled for short warmups
+    # unless a chunked driver carries Welford state across calls)
+    do_mass = bool(cfg.adapt_mass) and (
+        welford0 is not None or cfg.num_burnin >= 50
+    )
+    w0 = int(cfg.welford_window[0] * cfg.num_burnin)
+    w1 = int(cfg.welford_window[1] * cfg.num_burnin)
 
     class Carry(NamedTuple):
         z: Array
@@ -390,17 +404,19 @@ def nuts_sample(
             w_mean = jnp.where(in_window, new_mean, w_mean)
             w_m2 = jnp.where(in_window, new_m2, w_m2)
 
-            # at the window close: install the regularized variance estimate
-            # (Stan's shrink-to-unit-scaled prior) and restart dual averaging
-            switch = it == w1
-            n = jnp.maximum(w_count, 2.0)
-            var = w_m2 / (n - 1.0)
-            var_reg = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * cfg.mass_reg
-            inv_mass = jnp.where(switch, jnp.maximum(var_reg, 1e-10), inv_mass)
-            da_m = jnp.where(switch, 0, da_m)
-            h_avg = jnp.where(switch, 0.0, h_avg)
-            mu = jnp.where(switch, log_eps_next + jnp.log(10.0), mu)
-            log_eps_avg = jnp.where(switch, log_eps_next, log_eps_avg)
+            if cfg.install_mass:
+                # at the window close: install the regularized variance
+                # estimate (Stan's shrink-to-unit-scaled prior) and restart
+                # dual averaging
+                switch = it == w1
+                n = jnp.maximum(w_count, 2.0)
+                var = w_m2 / (n - 1.0)
+                var_reg = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * cfg.mass_reg
+                inv_mass = jnp.where(switch, jnp.maximum(var_reg, 1e-10), inv_mass)
+                da_m = jnp.where(switch, 0, da_m)
+                h_avg = jnp.where(switch, 0.0, h_avg)
+                mu = jnp.where(switch, log_eps_next + jnp.log(10.0), mu)
+                log_eps_avg = jnp.where(switch, log_eps_next, log_eps_avg)
 
         new_c = Carry(
             z=z, key=key, log_eps=log_eps_next, log_eps_avg=log_eps_avg,
@@ -417,6 +433,14 @@ def nuts_sample(
         if inv_mass0 is None
         else jnp.asarray(inv_mass0, jnp.float32)
     )
+    if welford0 is None:
+        wf = (
+            jnp.float32(0.0),
+            jnp.zeros((dim,), jnp.float32),
+            jnp.zeros((dim,), jnp.float32),
+        )
+    else:
+        wf = tuple(jnp.asarray(v, jnp.float32) for v in welford0)
     init = Carry(
         z=init_state,
         key=key,
@@ -426,9 +450,9 @@ def nuts_sample(
         da_m=jnp.int32(0),
         mu=jnp.log(10.0) + log_eps0,
         inv_mass=im0,
-        w_count=jnp.float32(0.0),
-        w_mean=jnp.zeros((dim,), jnp.float32),
-        w_m2=jnp.zeros((dim,), jnp.float32),
+        w_count=wf[0],
+        w_mean=wf[1],
+        w_m2=wf[2],
     )
     final, (zs, accepts) = jax.lax.scan(scan_body, init, jnp.arange(total))
     return zs[cfg.num_burnin :], {
@@ -436,4 +460,5 @@ def nuts_sample(
         "final_step_size": jnp.exp(final.log_eps),
         "inv_mass": final.inv_mass,
         "final_state": final.z,
+        "welford": (final.w_count, final.w_mean, final.w_m2),
     }

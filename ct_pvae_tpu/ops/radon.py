@@ -228,7 +228,7 @@ def radon_fast(
     return out.reshape(batch_shape + (len(theta_np), n_det))
 
 
-@partial(jax.jit, static_argnames=("x_size", "y_size"))
+@partial(jax.jit, static_argnames=("x_size", "y_size", "angle_chunk"))
 def backproject(
     sinogram: Array,
     theta: Array,

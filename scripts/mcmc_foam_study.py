@@ -58,9 +58,10 @@ def main() -> None:
         "true-Poisson likelihood through the Pallas projector "
         "(mcmc/image_model.py).",
         "",
-        "| example | sampler | draws/s | PSNR init | PSNR VAE sample | "
-        "PSNR VAE mean | PSNR MCMC mean | std corr (MCMC vs VAE) |",
-        "|---|---|---|---|---|---|---|---|",
+        "| example | sampler | draws/s | step | R-hat max | ESS min/med | "
+        "PSNR init | PSNR VAE sample | PSNR VAE mean | PSNR MCMC mean | "
+        "std corr (MCMC vs VAE) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
 
     def psnr(gt, img):
@@ -94,8 +95,16 @@ def main() -> None:
                 vs = np.squeeze(np.load(vae_std_path)[en])
                 corr = float(np.corrcoef(vs.ravel(), out["std"].ravel())[0, 1])
 
+            dg = out.get("diag", {})
+            rhat = dg.get("rhat_max", float("nan"))
+            ess_s = (
+                f"{dg['ess_min']:.0f}/{dg['ess_med']:.0f}"
+                if "ess_min" in dg else "-"
+            )
             lines.append(
                 f"| {en} | {sampler} | {out['draws'] / out['seconds']:.2f} | "
+                f"{dg.get('final_step_size', float('nan')):.2e} | "
+                f"{rhat:.3f} | {ess_s} | "
                 f"{psnr(gt, init_stack[en, :, :, 0]):.2f} | "
                 f"{psnr(gt, recon_final[en]):.2f} | "
                 f"{psnr(gt, recon_mean[en] if recon_mean is not None else None):.2f} | "

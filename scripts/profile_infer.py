@@ -9,9 +9,11 @@ the attack lands on the right one:
   init:<alg>      each classical algorithm batch-reconstructed alone
   init:stack      the production 5-channel stack in one jit (as served)
   device-put      host->device upload of the dataset dict
-  vae x P         the fused multi-pass posterior (one device call per batch)
 
-Usage: python scripts/profile_infer.py [--n 200] [--passes 8]
+(The amortized VAE-forward stage itself is measured by bench_infer.py's
+1-vs-8-pass split; this script covers the preprocessing stages.)
+
+Usage: python scripts/profile_infer.py [--n 200]
 """
 
 from __future__ import annotations
@@ -29,8 +31,6 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200)
-    ap.add_argument("--passes", type=int, default=8)
-    ap.add_argument("--ckpt", default="results/foam_paper_run/ckpt-100000.msgpack")
     args = ap.parse_args()
 
     import jax

@@ -72,3 +72,30 @@ def test_surrogate_beats_random_at_equal_budget():
     assert np.mean(best_sur) < np.mean(best_rand), (best_sur, best_rand)
     # and the surrogate should land near the true optimum on average
     assert np.mean(best_sur) < 0.05, best_sur
+
+
+def test_surrogate_robust_to_diverged_trials():
+    """Round-5 fix for the r4 HPO finding: diverged trials return huge FINITE
+    losses (the NaN-guard pins ~4.7e6 against a ~600 objective), which used to
+    be fed raw into the cubic RBF and destroy the fit.  With the median+10*IQR
+    cap the surrogate must still find the optimum of an objective whose space
+    contains a divergence region."""
+    from ct_pvae_tpu.config import Config
+    from ct_pvae_tpu.hpo import SearchSpace, sweep
+
+    space = SearchSpace(params={"a": (-2.0, 2.0), "b": (-2.0, 2.0)})
+
+    def objective(ov):
+        a, b = ov["a"], ov["b"]
+        if a > 1.2:  # "divergence" band: NaN-guarded trainer-style huge loss
+            return 4.69e6
+        return 600.0 + (a - 0.5) ** 2 + (b + 0.3) ** 2
+
+    base = Config()
+    best = []
+    for seed in range(5):
+        rs = sweep(base, space, num_trials=20, mode="surrogate",
+                   seed=seed, objective=objective)
+        best.append(rs[0][2])
+    # near-optimal despite the poisoned region (optimum = 600.0)
+    assert np.mean(best) < 600.05, best

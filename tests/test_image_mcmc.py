@@ -241,3 +241,41 @@ def test_cli_mcmc_foam(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert os.path.exists(run / "mcmc_posterior_mean.npy")
+
+
+def test_estimate_curvature_diag_preconditions_nuts():
+    """The physics-informed metric (r4 VERDICT Next #1) must (a) be positive,
+    finite, and stable across probe seeds, and (b) let NUTS adapt a much
+    larger step size than the identity metric on the same image posterior."""
+    from ct_pvae_tpu.mcmc.image_model import estimate_curvature_diag
+
+    gt, theta, mask, meas, n_det = _measurement()
+    used = mask > 0
+    lp = make_image_log_prob(
+        meas[used], theta[used], mask[used], PNM, H, H, prior="tv", prior_weight=10.0
+    )
+    init_recon = _partial_fbp(meas, mask, theta, n_det)
+    init = init_chains_from_recon(jnp.asarray(init_recon), 4, jax.random.PRNGKey(1))
+    x0 = jnp.mean(init, axis=0)
+
+    curv = estimate_curvature_diag(
+        x0, meas[used], theta[used], mask[used], PNM, H, H,
+        prior="tv", prior_weight=10.0, key=jax.random.PRNGKey(3), num_probes=64,
+    )
+    curv2 = estimate_curvature_diag(
+        x0, meas[used], theta[used], mask[used], PNM, H, H,
+        prior="tv", prior_weight=10.0, key=jax.random.PRNGKey(4), num_probes=64,
+    )
+    c1, c2 = np.asarray(curv), np.asarray(curv2)
+    assert np.all(np.isfinite(c1)) and np.all(c1 > 0)
+    # probe-seed stability: median relative spread bounded
+    assert np.median(np.abs(c1 - c2) / (c1 + c2)) < 0.3
+
+    warm = NUTSConfig(num_results=0, num_burnin=100, step_size=1e-2,
+                      max_depth=6, adapt_mass=False)
+    _, d_id = nuts_sample(lp, init, jax.random.PRNGKey(5), warm)
+    _, d_pc = nuts_sample(lp, init, jax.random.PRNGKey(5), warm,
+                          inv_mass0=1.0 / curv)
+    eps_id = float(d_id["final_step_size"])
+    eps_pc = float(d_pc["final_step_size"])
+    assert eps_pc > 3.0 * eps_id, (eps_pc, eps_id)
