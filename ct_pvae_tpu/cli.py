@@ -271,6 +271,9 @@ def cmd_infer(argv) -> int:
                    help="measured data: skip synthetic masking noise")
     p.add_argument("--pnm", type=float, default=None,
                    help="override the measurement dose (Poisson multiplier)")
+    p.add_argument("--cheap_init", action="store_true",
+                   help="substitute sirt/tv init channels with the one-shot "
+                        "ramp-FBP (same channel layout; serving-latency mode)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     from .vi.infer import amortized_infer
@@ -280,6 +283,8 @@ def cmd_infer(argv) -> int:
         overrides["real_data"] = True
     if args.pnm is not None:
         overrides["poisson_noise_multiplier"] = args.pnm
+    if args.cheap_init:
+        overrides["cheap_init"] = True
         overrides["pnm_start"] = None
     out = amortized_infer(
         args.run_path,

@@ -58,6 +58,12 @@ class Config:
     # training (content-checked by shape; SURVEY.md §5.4 build note).  The
     # reference only reloads these when train=False.
     reuse_cache: bool = False                 # --reuse_cache
+    # Serving-only cheap-init mode: substitute the iterative init algorithms
+    # (sirt/tv, ~90 projector applications each batch) with the one-shot
+    # ramp-FBP while PRESERVING channel count and order, so a model trained
+    # on the 5-channel stack still gets 5 channels.  Trades init fidelity for
+    # serving latency; fidelity cost measured in BENCH.md serving table.
+    cheap_init: bool = False                  # infer --cheap_init
 
     # --- model architecture (ref main_ct_vae.py:47-50, 57-66, 89-90) ---
     num_blocks: int = 3                       # --nb

@@ -84,6 +84,7 @@ def classical_recon_stack(
     train: bool = True,
     batch: int = 32,
     reuse_cache: bool = False,
+    cheap_init: bool = False,
 ) -> np.ndarray:
     """Build the (N, x, y, num_algorithms+1) encoder-input stack.
 
@@ -93,7 +94,13 @@ def classical_recon_stack(
     is the unfiltered backprojection of the mask itself (:514-516).  Cached to
     ``all_input_encode.npy`` (:525-527).  ``reuse_cache`` reloads a matching
     cache even in train mode (shape-checked against the request).
+
+    ``cheap_init`` (serving, config.py): each iterative algorithm (sirt/tv)
+    is computed as the one-shot ramp-FBP instead — same channel count and
+    order, ~100x fewer projector applications per batch.
     """
+    if cheap_init:
+        algorithms = ["gridrec" if a in ("sirt", "tv") else a for a in algorithms]
     if save_path is not None:
         cache = os.path.join(save_path, "all_input_encode.npy")
         if not train:

@@ -140,6 +140,7 @@ class Trainer:
             save_path=cfg.save_path,
             train=cfg.train,
             reuse_cache=cfg.reuse_cache,
+            cheap_init=cfg.cheap_init,
         )
         self.train_size = (len(sinograms) // cfg.batch_size) * cfg.batch_size
 

@@ -64,11 +64,38 @@ def main() -> None:
         os.path.join(run_dir, "training_checkpoints", os.path.basename(args.ckpt)),
     )
 
-    def run():
+    truth_path = os.path.join(holdout, "foam_holdout_truth.npy")
+    if not os.path.exists(truth_path):
+        # the holdout set may predate truth archiving; the generator is
+        # seeded, so the images regenerate deterministically
+        from ct_pvae_tpu.data.foam import generate_foam_images
+
+        print("regenerating held-out ground truth (seed 1000) ...")
+        np.save(truth_path, generate_foam_images(len(sinos), seed=1000))
+    truth = np.asarray(np.load(truth_path)[:n], np.float32)
+
+    def run(cheap=False):
+        ov = {"cheap_init": True} if cheap else None
         return amortized_infer(
             run_dir, out_dir, sinograms=sinos, theta=np.asarray(theta),
-            num_passes=args.passes, seed=1,
+            num_passes=args.passes, seed=1, overrides=ov,
         )
+
+    def mean_psnr(out):
+        from ct_pvae_tpu.eval.metrics import compare
+
+        rec = np.squeeze(np.asarray(out["mean"]))
+        gt = truth
+        if rec.shape[-2:] != gt.shape[-2:]:  # center-crop the larger to match
+            from ct_pvae_tpu.data.recon_init import crop_center
+
+            if rec.shape[-1] > gt.shape[-1]:
+                rec = crop_center(rec, gt.shape[-2], gt.shape[-1])
+            else:
+                gt = crop_center(gt, rec.shape[-2], rec.shape[-1])
+        return float(np.mean([
+            compare(gt[i], np.clip(rec[i], 0.0, 1.0))[2] for i in range(len(gt))
+        ]))
 
     # cold: setup (masks/noise/classical init for the new data) + compile
     t0 = time.perf_counter()
@@ -79,14 +106,27 @@ def main() -> None:
     t0 = time.perf_counter()
     out = run()
     warm = time.perf_counter() - t0
+    psnr_full = mean_psnr(out)
+
+    # cheap-init serving mode (config.cheap_init): sirt/tv channels replaced
+    # by the one-shot ramp-FBP — measure both the speedup and the fidelity
+    # cost on the same held-out data
+    run(cheap=True)  # compile pass for the substituted stack
+    t0 = time.perf_counter()
+    out_cheap = run(cheap=True)
+    warm_cheap = time.perf_counter() - t0
+    psnr_cheap = mean_psnr(out_cheap)
 
     assert np.isfinite(out["mean"]).all() and (out["std"] >= 0).all()
     print(
         f"serving: {n} examples x {args.passes} passes "
-        f"(x{foam_paper_config().num_samples} ELBO samples each)"
+        f"(x{foam_paper_config().num_samples} ELBO samples each), held-out data"
     )
     print(f"  cold (setup+compile): {cold:6.2f} s  ({n / cold:6.1f} ex/s)")
-    print(f"  warm end-to-end:      {warm:6.2f} s  ({n / warm:6.1f} ex/s)")
+    print(f"  warm end-to-end:      {warm:6.2f} s  ({n / warm:6.1f} ex/s)  "
+          f"posterior-mean PSNR {psnr_full:.2f} dB")
+    print(f"  warm cheap-init:      {warm_cheap:6.2f} s  ({n / warm_cheap:6.1f} ex/s)  "
+          f"posterior-mean PSNR {psnr_cheap:.2f} dB")
 
 
 if __name__ == "__main__":

@@ -257,3 +257,29 @@ def test_fidelity_report_structure(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "fidelity.json")
+
+
+def test_cheap_init_substitutes_iterative_channels():
+    """Serving cheap-init mode (config.cheap_init): sirt/tv channels become
+    the one-shot ramp-FBP — SAME channel count/order, so a model trained on
+    the full stack still serves."""
+    import jax.numpy as jnp
+    from ct_pvae_tpu.data.recon_init import classical_recon_stack
+
+    rng = np.random.default_rng(0)
+    n, a, p = 3, 8, 32
+    theta = np.linspace(0, np.pi, a, endpoint=False).astype(np.float32)
+    proj = rng.uniform(0.0, 1.0, (n, a, p)).astype(np.float32)
+    masks = np.zeros((n, a), np.float32)
+    masks[:, ::2] = 1.0 / (a // 2)
+    algs = ["sirt", "tv", "fbp", "gridrec"]
+    full = classical_recon_stack(proj, masks, theta, algs, 20, 20)
+    cheap = classical_recon_stack(proj, masks, theta, algs, 20, 20, cheap_init=True)
+    assert cheap.shape == full.shape == (n, 20, 20, len(algs) + 1)
+    # sirt/tv slots now carry the gridrec (ramp-FBP) reconstruction
+    np.testing.assert_allclose(cheap[..., 0], cheap[..., 3], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cheap[..., 1], cheap[..., 3], rtol=1e-5, atol=1e-5)
+    # fbp/gridrec/mask channels are untouched by the substitution
+    np.testing.assert_allclose(cheap[..., 2:], full[..., 2:], rtol=1e-5, atol=1e-5)
+    # and the full stack's iterative channels really are different algorithms
+    assert not np.allclose(full[..., 0], full[..., 3])

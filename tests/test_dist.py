@@ -149,3 +149,12 @@ def test_sharded_hmc_cross_chain_adaptation_moments():
     np.testing.assert_allclose(flat.mean(axis=0), np.asarray(mu), atol=0.15)
     np.testing.assert_allclose(flat.std(axis=0), 1.0, atol=0.15)
     assert 0.4 < float(diag["accept_rate"]) <= 1.0
+
+
+def test_dryrun_kernelpath_64px_matches_single_device():
+    """r4 VERDICT Next #8: the driver's multichip dry-run now asserts 1-dev ==
+    8-dev losses at 64^2/32-angle shapes on the Pallas-interpret kernel path."""
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip_kernelpath(8)
