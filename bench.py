@@ -95,7 +95,7 @@ def main() -> None:
                 # documented estimate of the TF2.8 reference (which publishes
                 # no steps/s; see module docstring) — an estimate ratio, not
                 # a same-hardware measurement.
-                "note": "full train loop (r3+ metric); vs_baseline is vs the documented 5 steps/s TF2.8-era estimate",
+                "note": "full train loop (r3+ metric); vs_baseline is vs the documented 5 steps/s TF2.8-era estimate; run-to-run variance on this remote backend is ~+/-4% (r3 37.0 / r4 36.4 / BENCH.md 37.7)",
             }
         )
     )

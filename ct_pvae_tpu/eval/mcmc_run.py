@@ -159,6 +159,8 @@ def run_foam_mcmc(
     max_depth: int = 7,
     input_path: str = None,
     output_prefix: str = "mcmc",
+    smc_beta0: float = 0.0,
+    init_source: str = "classical",
 ) -> dict:
     """Image-scale posterior sampling for one object of a finished VAE run.
 
@@ -209,7 +211,14 @@ def run_foam_mcmc(
     theta_used = np.asarray(theta)[used]
     mask_used = jnp.asarray(mask[used])
     meas = jnp.asarray(all_proj[example_num][used])
-    init_recon = init_stack[example_num, :, :, 0]      # first algorithm channel
+    if init_source == "vae":
+        # warm-start from the trained amortized posterior mean (Next #7's
+        # beta~1 SMC refinement wants the best available init cloud)
+        init_recon = np.squeeze(
+            np.load(os.path.join(save_path, "reconstruction_mean.npy"))[example_num]
+        ).astype(np.float32)
+    else:
+        init_recon = init_stack[example_num, :, :, 0]  # first algorithm channel
     x_size, y_size = init_recon.shape
 
     log_prob = make_image_log_prob(
@@ -249,7 +258,10 @@ def run_foam_mcmc(
             num_particles=num_chains, num_stages=stage_chunk, step_size=1e-2
         )
         particles = init
-        beta = jnp.float32(0.0)
+        # smc_beta0 > 0 warm-starts the tempering ladder (Next #7: a beta~1
+        # refinement schedule from a good init cloud — cold tempering from
+        # beta=0 is impractical at image dimension, BENCH.md caveat (b))
+        beta = jnp.float32(smc_beta0)
         ss = jnp.float32(scfg.step_size)
         lev = jnp.float32(0.0)
         diag = {}

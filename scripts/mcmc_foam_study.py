@@ -33,6 +33,13 @@ def main() -> None:
     ap.add_argument("--burnin", type=int, default=300)
     ap.add_argument("--chains", type=int, default=8)
     ap.add_argument("--prior_weight", type=float, default=10.0)
+    ap.add_argument("--max_depth", type=int, default=6)
+    ap.add_argument("--smc_beta0", type=float, default=0.0,
+                    help="warm-start inverse temperature for the smc sampler")
+    ap.add_argument("--init_source", default="classical",
+                    choices=["classical", "vae"])
+    ap.add_argument("--steps_smc", type=int, default=None,
+                    help="override --steps for the smc sampler")
     ap.add_argument("--out", default="results/mcmc_foam")
     ap.add_argument("--samplers", nargs="+", default=["nuts", "smc"])
     args = ap.parse_args()
@@ -72,15 +79,21 @@ def main() -> None:
     for en in args.examples:
         gt = np.asarray(gt_all[en], np.float32)
         for sampler in args.samplers:
+            steps = args.steps
+            if sampler == "smc" and args.steps_smc is not None:
+                steps = args.steps_smc
             out = run_foam_mcmc(
                 args.run,
-                number_of_steps=args.steps,
+                number_of_steps=steps,
                 burnin=args.burnin,
                 example_num=en,
                 num_chains=args.chains,
                 sampler=sampler,
                 prior="tv",
                 prior_weight=args.prior_weight,
+                max_depth=args.max_depth,
+                smc_beta0=args.smc_beta0,
+                init_source=args.init_source,
                 output_prefix=f"{args.out.rstrip('/').split('/')[-1]}_tmp",
                 seed=en,
             )

@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# Round-5 TPU work queue — runs AFTER the boxplot campaign frees the chip.
+# Each item runs under timeout and failures don't block later items; chip
+# jobs are strictly sequential (the axon backend is single-client and a
+# killed client poisons the next claim for ~5 min).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p results/mcmc_foam results/serving
+
+log() { echo "== [$(date -u +%H:%M:%S)] $*"; }
+run() {  # run <minutes> <logfile> <cmd...>
+  local mins=$1 lf=$2; shift 2
+  log "start: $* (cap ${mins}m, log $lf)"
+  if timeout "${mins}m" "$@" > "$lf" 2>&1; then
+    log "done:  $1..."
+  else
+    log "FAILED/timeout: $* (see $lf)"
+    sleep 120   # let a killed client's lease clear before the next claim
+  fi
+}
+
+# 1. preconditioned-NUTS validation at 64^2 (VERDICT Next #1 'done' criterion)
+run 25 results/mcmc_foam/val64_log.txt \
+  python scripts/mcmc_foam_study.py --run runs/val64 --examples 0 1 \
+    --steps 512 --burnin 512 --chains 8 --max_depth 6 --samplers nuts \
+    --out results/mcmc_foam/val64
+
+# 2. honest 128^2 rerun with diagnostics (paper-run example 0)
+run 45 results/mcmc_foam/r5_128_log.txt \
+  python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
+    --examples 0 --steps 768 --burnin 768 --chains 8 --max_depth 6 \
+    --samplers nuts --out results/mcmc_foam/r5_128
+
+# 3. 512^2 from capability to result: 20k iters under the supervisor
+run 75 runs/foam_stretch_quality_train.log \
+  python scripts/train_resilient.py --save_path runs/foam_stretch_quality -- \
+    --config configs/foam_stretch.yaml --save_path runs/foam_stretch_quality \
+    -i 20000 --si 5000
+
+# 4. 512^2 quality + serving pass
+run 20 runs/foam_stretch_quality_merit.log \
+  python -m ct_pvae_tpu.cli merit --input_path dataset_foam_512 \
+    --save_path runs/foam_stretch_quality --pnm 1e4
+run 25 runs/foam_stretch_serve.log \
+  python -m ct_pvae_tpu.cli infer --run_path runs/foam_stretch_quality \
+    --output runs/foam_stretch_serve --passes 4
+
+# 5. serving bench on held-out data, full vs cheap-init (VERDICT Next #5)
+run 30 results/serving/bench_infer_r5.txt \
+  python scripts/bench_infer.py
+
+# 6. throughput-vs-batch curve (VERDICT Next #6, measurement half)
+run 20 results/bench_batch_curve.txt \
+  python scripts/bench_batch_curve.py
+
+# 7. warm-started beta=1 SMC refinement at 128^2 (VERDICT Next #7)
+run 30 results/mcmc_foam/r5_smc_log.txt \
+  python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
+    --examples 0 --samplers smc --chains 32 --steps 400 \
+    --smc_beta0 1.0 --init_source vae --out results/mcmc_foam/r5_smc
+
+# 8. serving stage attribution (advisor-cleaned profile)
+run 15 results/serving/profile_infer_r5.txt \
+  python scripts/profile_infer.py
+
+# 9. fused-conv go/no-go probe at the heaviest block's shapes (Next #6)
+run 15 results/probe_conv_fused.txt \
+  python scripts/probe_conv_fused.py
+run 15 results/probe_conv_fused_c10.txt \
+  python scripts/probe_conv_fused.py --cin 10
+
+log "queue complete"
