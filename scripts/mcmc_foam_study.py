@@ -124,9 +124,10 @@ def main() -> None:
                 f"{psnr(gt, out['mean']):.2f} | {corr:.3f} |"
             )
             print(lines[-1])
+            # incremental flush: a timeout mid-study keeps finished rows
+            with open(os.path.join(args.out, "summary.md"), "w") as f:
+                f.write("\n".join(lines) + "\n")
 
-    with open(os.path.join(args.out, "summary.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}/summary.md")
 
 

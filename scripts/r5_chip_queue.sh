@@ -20,15 +20,15 @@ run() {  # run <minutes> <logfile> <cmd...>
 }
 
 # 1. preconditioned-NUTS validation at 64^2 (VERDICT Next #1 'done' criterion)
-run 25 results/mcmc_foam/val64_log.txt \
+run 40 results/mcmc_foam/val64_log.txt \
   python scripts/mcmc_foam_study.py --run runs/val64 --examples 0 1 \
-    --steps 512 --burnin 512 --chains 8 --max_depth 6 --samplers nuts \
+    --steps 512 --burnin 512 --chains 8 --max_depth 5 --samplers nuts \
     --out results/mcmc_foam/val64
 
 # 2. honest 128^2 rerun with diagnostics (paper-run example 0)
-run 45 results/mcmc_foam/r5_128_log.txt \
+run 75 results/mcmc_foam/r5_128_log.txt \
   python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
-    --examples 0 --steps 768 --burnin 768 --chains 8 --max_depth 6 \
+    --examples 0 --steps 384 --burnin 256 --chains 8 --max_depth 5 \
     --samplers nuts --out results/mcmc_foam/r5_128
 
 # 3. 512^2 from capability to result: 20k iters under the supervisor
@@ -56,7 +56,7 @@ run 20 results/bench_batch_curve.txt \
 # 7. warm-started beta=1 SMC refinement at 128^2 (VERDICT Next #7)
 run 30 results/mcmc_foam/r5_smc_log.txt \
   python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
-    --examples 0 --samplers smc --chains 32 --steps 400 \
+    --examples 0 --samplers smc --chains 32 --steps 200 \
     --smc_beta0 1.0 --init_source vae --out results/mcmc_foam/r5_smc
 
 # 8. serving stage attribution (advisor-cleaned profile)
