@@ -21,6 +21,7 @@ BASELINE.md's build target is >=5x that estimate (vs_baseline >= 5).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -52,6 +53,11 @@ def main() -> None:
                                    # poorly and buys ~no speed (convs already
                                    # run one-pass bf16 MXU products, BENCH.md)
     )
+    # A/B hook: BENCH_CONV_IMPL=direct|subpixel|im2col overrides the conv
+    # formulation for offline comparisons; the default path is unchanged.
+    impl = os.environ.get("BENCH_CONV_IMPL")
+    if impl:
+        cfg = cfg.replace(conv_impl=impl)
     n_pixel = 128
     rng = np.random.default_rng(0)
     imgs = rng.uniform(0, 1, size=(cfg.truncate_dataset, n_pixel, n_pixel)).astype(np.float32)

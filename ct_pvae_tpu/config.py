@@ -153,7 +153,7 @@ class Config:
     # form multiplies conv channels by s^2 and, because the rewritten convs
     # are stride-1, removes every lhs-dilated convolution from the backward
     # pass.  Measured on the paper config: see BENCH.md (A/B row).
-    conv_impl: str = "direct"                 # "direct" | "subpixel"
+    conv_impl: str = "direct"                 # "direct" | "subpixel" | "im2col"
     buffer_size: int = 100                    # shuffle buffer (ref create_dataset)
     # metrics flush block: per-step loss/kl/loglik stay on device and cross
     # to host as ONE stacked array every N steps (all steps still logged)

@@ -157,6 +157,40 @@ class InstanceNorm(nn.Module):
         return (x - mean) * inv * scale + offset
 
 
+def _im2col_conv(xp: Array, kern: Array, s: int, prec) -> Array:
+    """Stride-``s`` VALID conv as patch-concat + ONE matmul (im2col).
+
+    The direct lowering reduces over C_in per spatial tap (C_in=10-48 here,
+    <40% MXU lane fill — BENCH.md trace: ~2.7 TFLOP/s).  Concatenating the
+    k*k taps into a (B*H'*W', k*k*C) @ (k*k*C, C_out) matmul raises the
+    contraction dim to 90-432, trading 9x activation reads for lane fill
+    (decided by scripts/probe_conv_fused.py's measured go/no-go).
+    """
+    kh, kw, cin, cout = kern.shape
+    b, hp, wp, _ = xp.shape
+    ho = (hp - kh) // s + 1
+    wo = (wp - kw) // s + 1
+    cols = jnp.concatenate(
+        [
+            jax.lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (b, dy + s * (ho - 1) + 1, dx + s * (wo - 1) + 1, cin),
+                (1, s, s, 1),
+            )
+            for dy in range(kh)
+            for dx in range(kw)
+        ],
+        axis=-1,
+    )  # (B, H', W', kh*kw*C) in the kernel's (dy, dx, c) reshape order
+    y = jnp.dot(
+        cols.reshape(b * ho * wo, kh * kw * cin),
+        kern.reshape(kh * kw * cin, cout),
+        precision=prec,
+    )
+    return y.reshape(b, ho, wo, cout)
+
+
 class ConvBlock(nn.Module):
     features: int
     kernel: int
@@ -264,6 +298,8 @@ class ConvBlock(nn.Module):
                         )
                 elif subpixel:
                     y = _subpixel_strided(xp, kern, self.stride, prec)
+                elif self.impl == "im2col":
+                    y = _im2col_conv(xp, kern, self.stride, prec)
                 else:
                     y = jax.lax.conv_general_dilated(
                         xp, kern, s, padding="VALID",
@@ -402,8 +438,10 @@ def build_models(x_size: int, y_size: int, in_channels: int, cfg):
     if layout not in ("NHWC", "NCHW"):
         raise ValueError(f"conv_layout={layout!r}: use 'NHWC' or 'NCHW'")
     impl = getattr(cfg, "conv_impl", None) or "direct"
-    if impl not in ("direct", "subpixel"):
-        raise ValueError(f"conv_impl={impl!r}: use 'direct' or 'subpixel'")
+    if impl not in ("direct", "subpixel", "im2col"):
+        raise ValueError(
+            f"conv_impl={impl!r}: use 'direct', 'subpixel', or 'im2col'"
+        )
     enc = Encoder(
         num_blocks=cfg.num_blocks,
         feature_maps=feats,

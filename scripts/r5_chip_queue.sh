@@ -69,4 +69,10 @@ run 15 results/probe_conv_fused.txt \
 run 15 results/probe_conv_fused_c10.txt \
   python scripts/probe_conv_fused.py --cin 10
 
+# 10. full-loop A/B of the im2col formulation (decided by #9's block probe)
+run 20 results/bench_im2col.txt \
+  env BENCH_CONV_IMPL=im2col python bench.py
+run 20 results/bench_direct.txt \
+  python bench.py
+
 log "queue complete"

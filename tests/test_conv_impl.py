@@ -123,3 +123,42 @@ def test_full_model_subpixel_equivalence():
     m_s, v_s = dec_s.apply(pd, latents)
     np.testing.assert_allclose(m_s, m_d, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(v_s, v_d, rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_im2col_equivalence():
+    """Paper-geometry encoder/decoder: im2col == direct end to end (fwd+grad).
+
+    The formulation the measured fused-conv probe (scripts/
+    probe_conv_fused.py) decides on — exact math, so it must be bitwise-safe
+    to flip per deployment."""
+    from ct_pvae_tpu.config import foam_paper_config
+
+    cfg_d = foam_paper_config(truncate_dataset=4, batch_size=2)
+    cfg_i = cfg_d.replace(conv_impl="im2col")
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 32, 5), jnp.float32)
+
+    enc_d, dec_d, shapes = build_models(32, 32, 5, cfg_d)
+    enc_i, dec_i, _ = build_models(32, 32, 5, cfg_i)
+    p = enc_d.init(jax.random.PRNGKey(8), x)
+    skips_d = enc_d.apply(p, x)
+    skips_i = enc_i.apply(p, x)
+    for a, b in zip(skips_i, skips_d):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    # gradients through the patch/matmul transpose must match the conv VJP
+    def loss(params, enc):
+        return sum(jnp.sum(s * s) for s in enc.apply(params, x))
+
+    g_d = jax.grad(loss)(p, enc_d)
+    g_i = jax.grad(loss)(p, enc_i)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4),
+        g_i, g_d,
+    )
+
+    latents = [s / 2.0 for s in skips_d]
+    pd = dec_d.init(jax.random.PRNGKey(9), latents)
+    m_d, v_d = dec_d.apply(pd, latents)
+    m_i, v_i = dec_i.apply(pd, latents)
+    np.testing.assert_allclose(m_i, m_d, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(v_i, v_d, rtol=1e-4, atol=1e-4)
