@@ -173,6 +173,14 @@ def test_run_foam_mcmc_driver(tmp_path):
     assert os.path.exists(run / "mcmc_posterior_mean.npy")
     assert os.path.exists(run / "mcmc_posterior_std.npy")
     assert "psnr_mcmc" in out  # ground truth resolved via the naming contract
+    # r5: convergence evidence is part of the driver contract — split R-hat +
+    # ESS over the retained draws, and the preconditioned-metric spread
+    for k in ("rhat_max", "rhat_med", "ess_min", "ess_med", "inv_mass_spread"):
+        assert np.isfinite(out["diag"][k]), (k, out["diag"])
+    assert out["diag"]["rhat_max"] >= 1.0 - 1e-6
+    assert out["diag"]["ess_min"] > 0
+    assert os.path.exists(run / "mcmc_rhat.npy")
+    assert os.path.exists(run / "mcmc_ess.npy")
 
 
 def test_run_foam_mcmc_smc(tmp_path):
