@@ -94,18 +94,21 @@ class _Tree(NamedTuple):
     num_leaves: Array
 
 
-def _leapfrog(grad_fn, z, r, eps, inv_mass):
-    g = grad_fn(z)
+def _leapfrog(vg_fn, z, r, g, eps, inv_mass):
+    """One leapfrog step with a CACHED gradient: ``g`` is grad at ``z`` from
+    the previous step's closing half-kick, so each leaf costs ONE
+    value-and-grad evaluation of the target (the image-scale posteriors pay
+    a projector forward+adjoint per gradient — recomputing grad(z) at the
+    same point doubled the dominant cost)."""
     r = r + 0.5 * eps * g
     z = z + eps * inv_mass * r
-    g = grad_fn(z)
+    lp, g = vg_fn(z)
     r = r + 0.5 * eps * g
-    return z, r
+    return z, r, lp, g
 
 
 def _build_subtree(
-    log_prob_fn: Callable,
-    grad_fn: Callable,
+    vg_fn: Callable,        # value_and_grad of log_prob
     z0: Array,
     r0: Array,
     depth: Array,           # dynamic: current tree depth (subtree has 2^depth leaves)
@@ -126,13 +129,11 @@ def _build_subtree(
     z_ckpts = jnp.zeros((max_depth + 1, dim), z0.dtype)
     r_ckpts = jnp.zeros((max_depth + 1, dim), z0.dtype)
 
-    def energy(z, r):
-        return -log_prob_fn(z) + 0.5 * jnp.sum(r * r * inv_mass)
-
     class Carry(NamedTuple):
         leaf: Array
         z: Array
         r: Array
+        g: Array            # cached grad log_prob at z (one target eval/leaf)
         z_ckpts: Array
         r_ckpts: Array
         z_prop: Array
@@ -147,8 +148,8 @@ def _build_subtree(
         return (c.leaf < num_leaves) & ~c.turning & ~c.diverging
 
     def body(c: Carry):
-        z, r = _leapfrog(grad_fn, c.z, c.r, eps_d, inv_mass)
-        e = energy(z, r)
+        z, r, lp, g = _leapfrog(vg_fn, c.z, c.r, c.g, eps_d, inv_mass)
+        e = -lp + 0.5 * jnp.sum(r * r * inv_mass)
         delta = e - energy0
         diverging = delta > max_energy_error
         log_w_leaf = jnp.where(jnp.isnan(delta), -jnp.inf, -delta)
@@ -160,7 +161,7 @@ def _build_subtree(
         key, ku = jax.random.split(c.key)
         take = jnp.log(jax.random.uniform(ku)) < (log_w_leaf - log_w_new)
         z_prop = jnp.where(take, z, c.z_prop)
-        lp_prop = jnp.where(take, log_prob_fn(z), c.lp_prop)
+        lp_prop = jnp.where(take, lp, c.lp_prop)
 
         # U-turn bookkeeping via binary checkpoints
         leaf = c.leaf
@@ -197,6 +198,7 @@ def _build_subtree(
             leaf=leaf + 1,
             z=z,
             r=r,
+            g=g,
             z_ckpts=z_ckpts,
             r_ckpts=r_ckpts,
             z_prop=z_prop,
@@ -208,14 +210,16 @@ def _build_subtree(
             key=key,
         )
 
+    lp0, g0 = vg_fn(z0)
     init = Carry(
         leaf=jnp.int32(0),
         z=z0,
         r=r0,
+        g=g0,
         z_ckpts=z_ckpts,
         r_ckpts=r_ckpts,
         z_prop=z0,
-        lp_prop=log_prob_fn(z0),
+        lp_prop=lp0,
         log_w=-jnp.inf,
         turning=jnp.bool_(False),
         diverging=jnp.bool_(False),
@@ -236,7 +240,7 @@ def _build_subtree(
     )
 
 
-def _nuts_one_step(log_prob_fn, grad_fn, z, key, eps, inv_mass, cfg: NUTSConfig):
+def _nuts_one_step(log_prob_fn, vg_fn, z, key, eps, inv_mass, cfg: NUTSConfig):
     dim = z.shape[0]
     k_mom, k_loop = jax.random.split(key)
     # r ~ N(0, M) with M = diag(1/inv_mass)
@@ -266,7 +270,7 @@ def _nuts_one_step(log_prob_fn, grad_fn, z, key, eps, inv_mass, cfg: NUTSConfig)
         z0 = jnp.where(direction > 0, c.z_right, c.z_left)
         r0_edge = jnp.where(direction > 0, c.r_right, c.r_left)
         tree = _build_subtree(
-            log_prob_fn, grad_fn, z0, r0_edge, c.depth, direction, eps,
+            vg_fn, z0, r0_edge, c.depth, direction, eps,
             inv_mass, energy0, kt, cfg.max_depth, cfg.max_energy_error,
         )
         # merge edges
@@ -338,10 +342,10 @@ def nuts_sample(
     the posterior-variance estimate span chunk boundaries — the driver installs
     the pooled estimate into ``inv_mass0`` itself at its chosen warmup point.
     """
-    grad_fn = jax.grad(log_prob_fn)
+    vg_fn = jax.value_and_grad(log_prob_fn)
     num_chains, dim = init_state.shape
     step_fn = jax.vmap(
-        lambda z, k, eps, im: _nuts_one_step(log_prob_fn, grad_fn, z, k, eps, im, cfg),
+        lambda z, k, eps, im: _nuts_one_step(log_prob_fn, vg_fn, z, k, eps, im, cfg),
         in_axes=(0, 0, None, None),
     )
 
