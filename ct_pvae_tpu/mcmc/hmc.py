@@ -48,16 +48,21 @@ def transformed_log_prob(target_log_prob: Callable, bijector) -> Callable:
 
 
 def _leapfrog(log_prob_fn, x, p, step_size, num_steps):
+    # gradient cached across iterations: the closing half-kick's grad(x) is
+    # the next iteration's opening grad — one target eval per step instead of
+    # two (at image scale each eval is a projector forward+adjoint)
     grad_fn = jax.grad(lambda q: log_prob_fn(q))
 
     def body(_, carry):
-        x, p = carry
-        p = p + 0.5 * step_size * grad_fn(x)
+        x, p, g = carry
+        p = p + 0.5 * step_size * g
         x = x + step_size * p
-        p = p + 0.5 * step_size * grad_fn(x)
-        return (x, p)
+        g = grad_fn(x)
+        p = p + 0.5 * step_size * g
+        return (x, p, g)
 
-    return jax.lax.fori_loop(0, num_steps, body, (x, p))
+    x, p, _ = jax.lax.fori_loop(0, num_steps, body, (x, p, grad_fn(x)))
+    return x, p
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "cfg"))

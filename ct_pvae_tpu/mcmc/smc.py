@@ -82,13 +82,16 @@ def smc_sample(
             e0 = -lp_fn(z) + 0.5 * jnp.sum(p0 * p0)
 
             def leap(_, carry):
-                z, p = carry
-                p = p + 0.5 * step_size * grad_fn(z)
+                z, p, g = carry
+                p = p + 0.5 * step_size * g
                 z = z + step_size * p
-                p = p + 0.5 * step_size * grad_fn(z)
-                return (z, p)
+                g = grad_fn(z)
+                p = p + 0.5 * step_size * g
+                return (z, p, g)
 
-            z1, p1 = jax.lax.fori_loop(0, cfg.num_leapfrog, leap, (z, p0))
+            z1, p1, _ = jax.lax.fori_loop(
+                0, cfg.num_leapfrog, leap, (z, p0, grad_fn(z))
+            )
             e1 = -lp_fn(z1) + 0.5 * jnp.sum(p1 * p1)
             accept = jnp.log(jax.random.uniform(k2)) < jnp.where(
                 jnp.isnan(e1), -jnp.inf, e0 - e1
