@@ -123,6 +123,12 @@ def run_toy_mcmc(
             samples.shape[0], -1, 4
         )
     )
+    if sampler in ("hmc", "nuts") and trace.shape[0] >= 8:
+        from ..mcmc.diagnostics import effective_sample_size, split_rhat
+
+        diag = dict(diag)
+        diag["rhat_max"] = float(np.max(split_rhat(trace)))
+        diag["ess_min"] = float(np.min(effective_sample_size(trace)))
     print(f"{sampler} done in {(time.time()-t0)/60:.2f} min; diag={_scalar_diag(diag)}")
     np.save(os.path.join(save_path, "posterior_prob_trace.npy"), trace.reshape(-1, 4))
 
