@@ -422,6 +422,11 @@ def cmd_sweep(argv) -> int:
                    "against the surrogate at equal budget)")
     p.add_argument("--trials", type=int, default=None,
                    help="override the config's num_trials")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse completed trials recorded in "
+                        "<save-root>/sweep_results.json (random/grid replay "
+                        "the seed's first candidates; surrogate warm-starts "
+                        "its fit from them)")
     args = p.parse_args(argv)
     import yaml
 
@@ -446,6 +451,7 @@ def cmd_sweep(argv) -> int:
         mode=args.mode or spec.get("mode", "random"),
         save_root=args.save_root,
         processes=args.processes,
+        resume=args.resume,
     )
     best = results[0]
     print(f"best trial {best[0]}: loss={best[2]:.6g} overrides={best[1]}")

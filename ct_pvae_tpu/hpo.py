@@ -200,6 +200,7 @@ def sweep(
     save_root: Optional[str] = None,
     processes: int = 1,
     objective=None,             # optional {overrides} -> loss (tests/studies)
+    resume: bool = False,
 ) -> List[Tuple[int, Dict[str, Any], float]]:
     """Run trials; returns [(idx, overrides, loss_final_mean)] sorted by loss.
 
@@ -208,18 +209,39 @@ def sweep(
     the trial-farm pattern).  Surrogate mode is single-controller (the RBF
     refit is sequential); its per-round proposal batches still fan out over
     ``processes``.
+
+    ``resume``: reuse completed trials from ``save_root/sweep_results.json``
+    instead of re-running them — random/grid replay recorded losses for the
+    seed's first candidates (the rng stream stays aligned); surrogate treats
+    every recorded (point, loss) as evaluated data and goes straight to
+    fit-propose rounds (a warm start from ANY prior trial set).
     """
     rng = np.random.default_rng(seed)
+    prior: List[Tuple[int, Dict[str, Any], float]] = []
+    if resume and save_root:
+        path = os.path.join(save_root, "sweep_results.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                prior = [
+                    (d["trial"], d["overrides"], float(d["loss_final_mean"]))
+                    for d in json.load(f)
+                ]
+            prior.sort(key=lambda r: r[0])
+            prior = prior[:num_trials]
     if mode == "surrogate":
         results = _surrogate_loop(
-            base, space, num_trials, rng, save_root, processes, objective
+            base, space, num_trials, rng, save_root, processes, objective,
+            prior=prior,
         )
     else:
         if mode == "grid":
             candidates = space.grid()[:num_trials]
         else:
             candidates = [space.sample(rng) for _ in range(num_trials)]
-        results = _run_all(base, candidates, save_root, processes, 0, objective)
+        results = prior + _run_all(
+            base, candidates[len(prior):], save_root, processes, len(prior),
+            objective,
+        )
 
     results.sort(key=lambda r: r[2])
     if save_root:
@@ -232,7 +254,7 @@ def sweep(
 
 
 def _surrogate_loop(
-    base, space, num_trials, rng, save_root, processes, objective
+    base, space, num_trials, rng, save_root, processes, objective, prior=None
 ) -> List[Tuple[int, Dict[str, Any], float]]:
     """RBF surrogate optimization: space-filling init, then fit-propose-run
     rounds of ``processes`` candidates via SRBF weighted-rank acquisition."""
@@ -242,12 +264,17 @@ def _surrogate_loop(
         cands = [space.sample(rng) for _ in range(num_trials)]
         return _run_all(base, cands, save_root, processes, 0, objective)
 
-    n_init = min(num_trials, max(d + 2, num_trials // 3))
-    # stratified (latin-hypercube) init in the unit cube
-    u = (rng.permuted(np.tile(np.arange(n_init), (d, 1)), axis=1).T + rng.uniform(0, 1, (n_init, d))) / n_init
-    template = space.sample(rng)
-    init = [codec.decode(u[i], template) for i in range(n_init)]
-    results = _run_all(base, init, save_root, processes, 0, objective)
+    if prior:
+        # warm start: recorded trials ARE the evaluated set; skip the
+        # space-filling phase and go straight to fit-propose rounds
+        results = list(prior)
+    else:
+        n_init = min(num_trials, max(d + 2, num_trials // 3))
+        # stratified (latin-hypercube) init in the unit cube
+        u = (rng.permuted(np.tile(np.arange(n_init), (d, 1)), axis=1).T + rng.uniform(0, 1, (n_init, d))) / n_init
+        template = space.sample(rng)
+        init = [codec.decode(u[i], template) for i in range(n_init)]
+        results = _run_all(base, init, save_root, processes, 0, objective)
 
     evaluated = [codec.encode(o) for _, o, _ in results]
     losses = [l for _, _, l in results]

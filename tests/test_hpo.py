@@ -99,3 +99,40 @@ def test_surrogate_robust_to_diverged_trials():
         best.append(rs[0][2])
     # near-optimal despite the poisoned region (optimum = 600.0)
     assert np.mean(best) < 600.05, best
+
+
+def test_sweep_resume_reuses_recorded_trials(tmp_path):
+    """--resume replays recorded trials (random) / warm-starts the fit
+    (surrogate) instead of re-running them."""
+    import json
+    from ct_pvae_tpu.config import Config
+    from ct_pvae_tpu.hpo import SearchSpace, sweep
+
+    space = SearchSpace(params={"a": (-2.0, 2.0), "b": (-2.0, 2.0)})
+    calls = []
+
+    def objective(ov):
+        calls.append(dict(ov))
+        return (ov["a"] - 0.5) ** 2 + (ov["b"] + 0.3) ** 2
+
+    base = Config()
+    root = str(tmp_path / "arm")
+    r1 = sweep(base, space, num_trials=6, mode="random", seed=3,
+               save_root=root, objective=objective)
+    assert len(calls) == 6
+    calls.clear()
+    r2 = sweep(base, space, num_trials=10, mode="random", seed=3,
+               save_root=root, objective=objective, resume=True)
+    assert len(calls) == 4            # only the NEW trials ran
+    assert len(r2) == 10
+    # the recorded six are present verbatim (same (idx, loss) pairs)
+    got = {(i, round(l, 12)) for i, _, l in r2}
+    for i, _, l in r1:
+        assert (i, round(l, 12)) in got
+
+    # surrogate warm start: skips the latin-hypercube init entirely
+    calls.clear()
+    r3 = sweep(base, space, num_trials=12, mode="surrogate", seed=3,
+               save_root=root, objective=objective, resume=True)
+    assert len(calls) == 2            # 12 - 10 recorded
+    assert len(r3) == 12
