@@ -75,4 +75,14 @@ run 20 results/bench_im2col.txt \
 run 20 results/bench_direct.txt \
   python bench.py
 
+# 11. opportunistic: extend both HPO arms to 16 trials via --resume (the
+# fixed capped-fit surrogate gets its fair shot; random control at equal
+# budget).  Runs only if earlier items left time — each arm ~20 min.
+run 25 results/hpo_surrogate_ext.log \
+  python -m ct_pvae_tpu.cli sweep --config configs/hpo_foam.yaml \
+    --save-root runs/hpo_surrogate --mode surrogate --trials 16 --resume
+run 25 results/hpo_random_ext.log \
+  python -m ct_pvae_tpu.cli sweep --config configs/hpo_foam.yaml \
+    --save-root runs/hpo_random --mode random --trials 16 --resume
+
 log "queue complete"
