@@ -283,9 +283,9 @@ def cmd_infer(argv) -> int:
         overrides["real_data"] = True
     if args.pnm is not None:
         overrides["poisson_noise_multiplier"] = args.pnm
+        overrides["pnm_start"] = None
     if args.cheap_init:
         overrides["cheap_init"] = True
-        overrides["pnm_start"] = None
     out = amortized_infer(
         args.run_path,
         args.output_path,

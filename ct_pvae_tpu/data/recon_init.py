@@ -101,8 +101,14 @@ def classical_recon_stack(
     """
     if cheap_init:
         algorithms = ["gridrec" if a in ("sirt", "tv") else a for a in algorithms]
+    # the cheap stack has the SAME shape as the full one by design, so it
+    # needs its own cache file — a shape-checked reuse of all_input_encode
+    # would silently serve the wrong stack (and a cheap run must never
+    # overwrite the full stack other consumers read, e.g. run_foam_mcmc's
+    # chain init)
+    cache_name = "all_input_encode_cheap.npy" if cheap_init else "all_input_encode.npy"
     if save_path is not None:
-        cache = os.path.join(save_path, "all_input_encode.npy")
+        cache = os.path.join(save_path, cache_name)
         if not train:
             return np.load(cache)
         if reuse_cache and os.path.exists(cache):
@@ -170,5 +176,5 @@ def classical_recon_stack(
     if save_path is not None and is_primary():
         # multi-host: host 0 owns the artifact writes (identical elsewhere)
         os.makedirs(save_path, exist_ok=True)
-        np.save(os.path.join(save_path, "all_input_encode.npy"), stack)
+        np.save(os.path.join(save_path, cache_name), stack)
     return stack

@@ -329,7 +329,8 @@ def run_foam_mcmc(
                 jnp.zeros((dim,), jnp.float32),
                 jnp.zeros((dim,), jnp.float32),
             )
-            n_chunks = max((burnin + chunk - 1) // chunk, 1)
+            n_chunks = (burnin + chunk - 1) // chunk  # 0 => no warmup (pure
+            # refinement from the warm start, e.g. init_source="vae")
             accum_from = int(0.3 * n_chunks)
             install_at = (
                 max(int(0.8 * n_chunks), accum_from + 1) if n_chunks >= 3 else None

@@ -238,6 +238,23 @@ def sweep(
             candidates = space.grid()[:num_trials]
         else:
             candidates = [space.sample(rng) for _ in range(num_trials)]
+        # a recorded loss may only be replayed for the candidate that produced
+        # it — a resume with a different seed/mode (or a rank-sliced record)
+        # would silently mis-attribute losses otherwise
+        for (idx, ov, _), cand in zip(prior, candidates):
+            ok = set(ov) == set(cand) and all(
+                abs(float(ov[k]) - float(cand[k]))
+                <= 1e-9 * max(1.0, abs(float(cand[k])))
+                if isinstance(cand[k], (int, float))
+                else ov[k] == cand[k]
+                for k in cand
+            )
+            if not ok:
+                raise ValueError(
+                    f"resume: recorded trial {idx} does not match this "
+                    f"seed/mode's candidate stream — the recorded sweep used "
+                    f"different settings ({ov} vs {cand})"
+                )
         results = prior + _run_all(
             base, candidates[len(prior):], save_root, processes, len(prior),
             objective,

@@ -88,6 +88,8 @@ class _Tree(NamedTuple):
     log_weight: Array       # logsumexp of leaf weights
     z_edge: Array           # outermost state in the growth direction
     r_edge: Array
+    g_edge: Array           # grad log_prob at z_edge (cached for the caller)
+    lp_edge: Array
     turning: Array
     diverging: Array
     sum_accept: Array       # sum of min(1, exp(energy0 - energy)) for da
@@ -111,6 +113,8 @@ def _build_subtree(
     vg_fn: Callable,        # value_and_grad of log_prob
     z0: Array,
     r0: Array,
+    g0: Array,              # cached grad log_prob at z0 (edge state)
+    lp0: Array,             # cached log_prob at z0
     depth: Array,           # dynamic: current tree depth (subtree has 2^depth leaves)
     direction: Array,       # +1 / -1
     eps: Array,
@@ -134,6 +138,7 @@ def _build_subtree(
         z: Array
         r: Array
         g: Array            # cached grad log_prob at z (one target eval/leaf)
+        lp: Array           # cached log_prob at z
         z_ckpts: Array
         r_ckpts: Array
         z_prop: Array
@@ -199,6 +204,7 @@ def _build_subtree(
             z=z,
             r=r,
             g=g,
+            lp=lp,
             z_ckpts=z_ckpts,
             r_ckpts=r_ckpts,
             z_prop=z_prop,
@@ -210,12 +216,12 @@ def _build_subtree(
             key=key,
         )
 
-    lp0, g0 = vg_fn(z0)
     init = Carry(
         leaf=jnp.int32(0),
         z=z0,
         r=r0,
         g=g0,
+        lp=lp0,
         z_ckpts=z_ckpts,
         r_ckpts=r_ckpts,
         z_prop=z0,
@@ -233,6 +239,8 @@ def _build_subtree(
         log_weight=out.log_w,
         z_edge=out.z,
         r_edge=out.r,
+        g_edge=out.g,
+        lp_edge=out.lp,
         turning=out.turning,
         diverging=out.diverging,
         sum_accept=out.sum_accept,
@@ -240,19 +248,24 @@ def _build_subtree(
     )
 
 
-def _nuts_one_step(log_prob_fn, vg_fn, z, key, eps, inv_mass, cfg: NUTSConfig):
+def _nuts_one_step(vg_fn, z, key, eps, inv_mass, cfg: NUTSConfig):
     dim = z.shape[0]
     k_mom, k_loop = jax.random.split(key)
     # r ~ N(0, M) with M = diag(1/inv_mass)
     r0 = jax.random.normal(k_mom, (dim,)) * jax.lax.rsqrt(inv_mass)
-    energy0 = -log_prob_fn(z) + 0.5 * jnp.sum(r0 * r0 * inv_mass)
+    lp_init, g_init = vg_fn(z)   # the draw's only non-leaf target evaluation
+    energy0 = -lp_init + 0.5 * jnp.sum(r0 * r0 * inv_mass)
 
     class Carry(NamedTuple):
         depth: Array
         z_left: Array
         r_left: Array
+        g_left: Array
+        lp_left: Array
         z_right: Array
         r_right: Array
+        g_right: Array
+        lp_right: Array
         z_prop: Array
         log_w: Array
         turning: Array
@@ -269,15 +282,22 @@ def _nuts_one_step(log_prob_fn, vg_fn, z, key, eps, inv_mass, cfg: NUTSConfig):
         direction = jnp.where(jax.random.bernoulli(kd), jnp.int32(1), jnp.int32(-1))
         z0 = jnp.where(direction > 0, c.z_right, c.z_left)
         r0_edge = jnp.where(direction > 0, c.r_right, c.r_left)
+        g0_edge = jnp.where(direction > 0, c.g_right, c.g_left)
+        lp0_edge = jnp.where(direction > 0, c.lp_right, c.lp_left)
         tree = _build_subtree(
-            vg_fn, z0, r0_edge, c.depth, direction, eps,
+            vg_fn, z0, r0_edge, g0_edge, lp0_edge, c.depth, direction, eps,
             inv_mass, energy0, kt, cfg.max_depth, cfg.max_energy_error,
         )
-        # merge edges
+        # merge edges (gradients/log-probs ride along so no subtree ever
+        # re-evaluates the target at a state it was handed)
         z_left = jnp.where(direction > 0, c.z_left, tree.z_edge)
         r_left = jnp.where(direction > 0, c.r_left, tree.r_edge)
+        g_left = jnp.where(direction > 0, c.g_left, tree.g_edge)
+        lp_left = jnp.where(direction > 0, c.lp_left, tree.lp_edge)
         z_right = jnp.where(direction > 0, tree.z_edge, c.z_right)
         r_right = jnp.where(direction > 0, tree.r_edge, c.r_right)
+        g_right = jnp.where(direction > 0, tree.g_edge, c.g_right)
+        lp_right = jnp.where(direction > 0, tree.lp_edge, c.lp_right)
 
         ok = ~tree.turning & ~tree.diverging
         # biased progressive sampling between old tree and new subtree
@@ -292,8 +312,12 @@ def _nuts_one_step(log_prob_fn, vg_fn, z, key, eps, inv_mass, cfg: NUTSConfig):
             depth=c.depth + 1,
             z_left=z_left,
             r_left=r_left,
+            g_left=g_left,
+            lp_left=lp_left,
             z_right=z_right,
             r_right=r_right,
+            g_right=g_right,
+            lp_right=lp_right,
             z_prop=z_prop,
             log_w=log_w,
             turning=tree.turning | turning_across,
@@ -305,7 +329,8 @@ def _nuts_one_step(log_prob_fn, vg_fn, z, key, eps, inv_mass, cfg: NUTSConfig):
 
     init = Carry(
         depth=jnp.int32(0),
-        z_left=z, r_left=r0, z_right=z, r_right=r0,
+        z_left=z, r_left=r0, g_left=g_init, lp_left=lp_init,
+        z_right=z, r_right=r0, g_right=g_init, lp_right=lp_init,
         z_prop=z,
         log_w=jnp.float32(0.0),   # initial state has weight exp(-0) rel. energy0
         turning=jnp.bool_(False),
@@ -345,7 +370,7 @@ def nuts_sample(
     vg_fn = jax.value_and_grad(log_prob_fn)
     num_chains, dim = init_state.shape
     step_fn = jax.vmap(
-        lambda z, k, eps, im: _nuts_one_step(log_prob_fn, vg_fn, z, k, eps, im, cfg),
+        lambda z, k, eps, im: _nuts_one_step(vg_fn, z, k, eps, im, cfg),
         in_axes=(0, 0, None, None),
     )
 

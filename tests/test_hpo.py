@@ -136,3 +136,19 @@ def test_sweep_resume_reuses_recorded_trials(tmp_path):
                save_root=root, objective=objective, resume=True)
     assert len(calls) == 2            # 12 - 10 recorded
     assert len(r3) == 12
+
+
+def test_sweep_resume_rejects_mismatched_record(tmp_path):
+    """Replaying a record produced under a different seed must fail loudly."""
+    import pytest as _pytest
+    from ct_pvae_tpu.config import Config
+    from ct_pvae_tpu.hpo import SearchSpace, sweep
+
+    space = SearchSpace(params={"a": (-2.0, 2.0)})
+    obj = lambda ov: ov["a"] ** 2
+    root = str(tmp_path / "arm")
+    sweep(Config(), space, num_trials=3, mode="random", seed=1,
+          save_root=root, objective=obj)
+    with _pytest.raises(ValueError, match="resume"):
+        sweep(Config(), space, num_trials=5, mode="random", seed=2,
+              save_root=root, objective=obj, resume=True)
