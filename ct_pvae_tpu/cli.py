@@ -341,7 +341,9 @@ def cmd_mcmc(argv) -> int:
 
     run_toy_mcmc(
         save_path=args.save_path,
-        number_of_steps=args.number_of_steps or 200000,
+        number_of_steps=(
+            args.number_of_steps if args.number_of_steps is not None else 200000
+        ),
         burnin=args.burnin if args.burnin is not None else 50000,
         example_num=args.example_num,
         poisson_noise_multiplier=args.pnm if args.pnm is not None else 1e3,
