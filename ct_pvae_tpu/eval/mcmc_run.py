@@ -227,6 +227,28 @@ def run_foam_mcmc(
         init_recon = init_stack[example_num, :, :, 0]  # first algorithm channel
     x_size, y_size = init_recon.shape
 
+    if init_source != "vae":
+        # Measurement-consistent amplitude correction (round 5).  The
+        # preprocessing stores the classical-init channels in the encoder's
+        # normalized convention — ~10x BELOW true image scale (e.g. the r4
+        # paper run's gridrec channel peaks at 0.14 on [0,1] ground truth).
+        # The VAE is scale-free about its inputs, but a raw warm start puts
+        # every chain far outside the posterior's basin: the pnm~1e4 Poisson
+        # gradient at a 10x-too-dim image is enormous, dual averaging
+        # collapses the step to ~1e-6, and 768 draws "refine locally" (the
+        # r4 caveat).  The Poisson-ML rescale for a pure amplitude a on
+        # rates a*r is a* = sum(counts)/sum(r) — measurements only, no
+        # ground truth.
+        from ..ops.radon import radon as _radon
+
+        pos_init = jnp.clip(jnp.asarray(init_recon, jnp.float32), 0.0, None)
+        pred = _radon(pos_init[None], jnp.asarray(theta_used), pad=True,
+                      n_det=int(meas.shape[-1]))[0] * mask_used[:, None]
+        denom = float(jnp.sum(pred))
+        amp = float(jnp.sum(meas)) / denom if denom > 1e-8 else 1.0
+        amp = float(np.clip(amp, 1e-3, 1e3))
+        init_recon = np.asarray(pos_init) * amp
+
     log_prob = make_image_log_prob(
         meas, theta_used, mask_used, poisson_noise_multiplier,
         x_size, y_size, prior=prior, prior_weight=prior_weight,
