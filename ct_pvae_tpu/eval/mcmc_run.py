@@ -167,6 +167,7 @@ def run_foam_mcmc(
     output_prefix: str = "mcmc",
     smc_beta0: float = 0.0,
     init_source: str = "classical",
+    mass_install: bool = True,
 ) -> dict:
     """Image-scale posterior sampling for one object of a finished VAE run.
 
@@ -355,7 +356,8 @@ def run_foam_mcmc(
             # refinement from the warm start, e.g. init_source="vae")
             accum_from = int(0.3 * n_chunks)
             install_at = (
-                max(int(0.8 * n_chunks), accum_from + 1) if n_chunks >= 3 else None
+                max(int(0.8 * n_chunks), accum_from + 1)
+                if (n_chunks >= 3 and mass_install) else None
             )
             for ci in range(n_chunks):
                 k_run, kc = jax.random.split(k_run)

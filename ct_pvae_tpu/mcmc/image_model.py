@@ -30,6 +30,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import jax.scipy as jsp
 import numpy as np
 
 from ..ops.radon import num_proj_pixels, radon
@@ -162,10 +163,26 @@ def make_image_log_prob(
     mask_used = jnp.asarray(mask_used, jnp.float32)
     project = make_projector(theta_used, x_size, y_size, n_det, use_pallas, interpret)
 
+    counts = meas * pnm
+
     def log_prob(x: Array) -> Array:
         o_img = softplus_forward(x).reshape(x_size, y_size)
         proj_masked = project(o_img) * mask_used[:, None]
-        loglik = jnp.sum(Poisson(proj_masked * pnm).log_prob(meas * pnm))
+        rate = jnp.maximum(proj_masked * pnm, 1e-30)
+        # Poisson log-likelihood in DEVIANCE form: per-bin
+        #   k*log(rate/k) - (rate - k)
+        # equals Poisson(rate).log_prob(k) up to a k-only constant, but each
+        # term is O((rate-k)^2/k) ~ O(1) near the posterior bulk instead of
+        # O(k*log k) ~ 1e5.  The raw form sums to ~1e8 at 128^2/pnm=1e4, so
+        # float32 resolves energy differences only to ~+-16 — the MH accept
+        # test becomes cancellation noise, dual averaging collapses the step
+        # to ~1e-6, and chains freeze (the r4 'local refinement' pathology;
+        # healthy at 32^2 where the sum is small, broken at 64^2+).
+        loglik = jnp.sum(
+            jsp.special.xlogy(counts, rate)
+            - jsp.special.xlogy(counts, jnp.maximum(counts, 1e-30))
+            - (rate - counts)
+        )
         return (
             loglik
             + image_log_prior(o_img, prior, prior_weight)

@@ -139,12 +139,22 @@ def main() -> None:
         )(tiles, w2, bias)
         return out.reshape(B, H, W, F)
 
-    # correctness first
+    # correctness first.  The pallas formulation is guarded: current Mosaic
+    # rejects the in-VMEM 9-slice concat layout ("result/input offset
+    # mismatch on non-concat dimension") — a compiler limitation, not a
+    # model error; the probe's decision then rests on lax vs im2col.
     ref = np.asarray(f_lax(x, kern, bias))
+    broken = set()
     for name, fn in (("im2col", f_im2col), ("pallas", f_pallas)):
-        got = np.asarray(fn(x, kern, bias))
+        try:
+            got = np.asarray(fn(x, kern, bias))
+        except Exception as e:
+            print(f"{name}: COMPILE/RUN FAILED — {str(e).splitlines()[0][:150]}",
+                  flush=True)
+            broken.add(name)
+            continue
         err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
-        print(f"{name}: max rel err vs lax = {err:.2e}")
+        print(f"{name}: max rel err vs lax = {err:.2e}", flush=True)
         assert err < 1e-4, name
 
     def bench(fn, *a):
@@ -160,9 +170,12 @@ def main() -> None:
     flops = 2 * B * H * W * K * K * C * 2 * F
     results = {}
     for name, fn in (("lax", f_lax), ("im2col", f_im2col), ("pallas", f_pallas)):
+        if name in broken:
+            continue
         dt = bench(fn, x, kern, bias)
         results[name] = dt
-        print(f"{name:8s} {dt*1e3:7.3f} ms  ({flops/dt/1e12:6.2f} TFLOP/s)")
+        print(f"{name:8s} {dt*1e3:7.3f} ms  ({flops/dt/1e12:6.2f} TFLOP/s)",
+              flush=True)
 
     # grads for the two XLA formulations (the production step is ~2/3 bwd)
     for name, fn in (("lax", f_lax), ("im2col", f_im2col)):
