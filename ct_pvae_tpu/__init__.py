@@ -18,3 +18,39 @@ Layer map (see SURVEY.md §1 for the reference equivalents):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a stable local dir.
+
+    Every fresh process (CLI invocation, HPO trial, serving worker) and every
+    fresh ``Trainer`` re-jits closures whose in-memory cache keys are the new
+    function objects — so without the disk cache each one pays the full XLA
+    compile again (measured: the 500-iteration HPO objective is ~6 s of
+    stepping inside a ~3.3 min trial; serving's "warm" pass re-spends ~40 s
+    on compiles).  The persistent cache keys on the HLO itself, so identical
+    programs hit disk across processes and Trainer instances.
+
+    Honors an explicit ``JAX_COMPILATION_CACHE_DIR``; otherwise defaults to
+    ``~/.cache/ct_pvae_tpu_xla``.  Never raises: platforms whose PJRT plugin
+    cannot serialize executables simply skip caching.
+    """
+    import os as _os
+
+    try:
+        import jax as _jax
+
+        if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            _d = _os.path.join(
+                _os.path.expanduser("~"), ".cache", "ct_pvae_tpu_xla"
+            )
+            _os.makedirs(_d, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _d)
+        # default min-compile-time gate (1 s) would skip the many mid-size
+        # programs that dominate trial setup; cache everything non-trivial
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()
