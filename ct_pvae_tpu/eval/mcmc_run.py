@@ -250,9 +250,19 @@ def run_foam_mcmc(
         amp = float(np.clip(amp, 1e-3, 1e3))
         init_recon = np.asarray(pos_init) * amp
 
+    # use_pallas=False: the Pallas projector's MXU dots round inputs to
+    # bf16 (preferred_element_type only sets the f32 accumulator).  At
+    # pnm~1e4 the resulting ~4e-3 relative rate error perturbs the deviance
+    # log-likelihood by O(10-100) — far beyond the O(1) Hamiltonian-energy
+    # resolution the MH accept test needs — so on TPU the step size
+    # collapses exactly as the f32-cancellation bug did (healthy on CPU,
+    # where Pallas interpret mode computes exact f32).  The XLA gather
+    # projector is matmul-free (exact f32 on the VPU); sampling throughput
+    # is gradient-bound either way at MCMC's one-image working set.
     log_prob = make_image_log_prob(
         meas, theta_used, mask_used, poisson_noise_multiplier,
         x_size, y_size, prior=prior, prior_weight=prior_weight,
+        use_pallas=False,
     )
 
     key = jax.random.PRNGKey(seed)
@@ -329,6 +339,7 @@ def run_foam_mcmc(
                 jnp.mean(init, axis=0), meas, theta_used, mask_used,
                 poisson_noise_multiplier, x_size, y_size,
                 prior=prior, prior_weight=prior_weight, key=k_curv,
+                use_pallas=False,  # same exact-f32 routing as log_prob above
             )
             inv_mass = 1.0 / curv
             warm_cfg = NUTSConfig(
