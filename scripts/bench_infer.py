@@ -74,11 +74,20 @@ def main() -> None:
         np.save(truth_path, generate_foam_images(len(sinos), seed=1000))
     truth = np.asarray(np.load(truth_path)[:n], np.float32)
 
-    def run(cheap=False):
-        ov = {"cheap_init": True} if cheap else None
+    def run(cheap=False, im2col=False):
+        ov = {}
+        if cheap:
+            ov["cheap_init"] = True
+        if im2col:
+            # forward-only serving benefits from the im2col conv formulation
+            # (scripts/probe_conv_fused.py: the lax conv FORWARD lowering runs
+            # at ~0.1 TFLOP/s on this backend vs 3.2 for im2col; fwd+bwd —
+            # the training step — is neutral).  Identical parameters, only
+            # the lowering changes (tests/test_conv_impl.py equivalence).
+            ov["conv_impl"] = "im2col"
         return amortized_infer(
             run_dir, out_dir, sinograms=sinos, theta=np.asarray(theta),
-            num_passes=args.passes, seed=1, overrides=ov,
+            num_passes=args.passes, seed=1, overrides=ov or None,
         )
 
     def mean_psnr(out):
@@ -117,6 +126,12 @@ def main() -> None:
     warm_cheap = time.perf_counter() - t0
     psnr_cheap = mean_psnr(out_cheap)
 
+    run(cheap=True, im2col=True)  # compile pass for the im2col forward
+    t0 = time.perf_counter()
+    out_fast = run(cheap=True, im2col=True)
+    warm_fast = time.perf_counter() - t0
+    psnr_fast = mean_psnr(out_fast)
+
     assert np.isfinite(out["mean"]).all() and (out["std"] >= 0).all()
     print(
         f"serving: {n} examples x {args.passes} passes "
@@ -127,6 +142,8 @@ def main() -> None:
           f"posterior-mean PSNR {psnr_full:.2f} dB")
     print(f"  warm cheap-init:      {warm_cheap:6.2f} s  ({n / warm_cheap:6.1f} ex/s)  "
           f"posterior-mean PSNR {psnr_cheap:.2f} dB")
+    print(f"  warm cheap+im2col:    {warm_fast:6.2f} s  ({n / warm_fast:6.1f} ex/s)  "
+          f"posterior-mean PSNR {psnr_fast:.2f} dB")
 
 
 if __name__ == "__main__":
