@@ -42,6 +42,10 @@ def main() -> None:
                     help="override --steps for the smc sampler")
     ap.add_argument("--out", default="results/mcmc_foam")
     ap.add_argument("--samplers", nargs="+", default=["nuts", "smc"])
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="outer NUTS steps per device call; the exact-f32 "
+                         "gather projector needs ~16 at 128^2 to keep each "
+                         "call under the remote backend's kill threshold")
     args = ap.parse_args()
 
     from ct_pvae_tpu.config import Config
@@ -92,6 +96,7 @@ def main() -> None:
                 prior="tv",
                 prior_weight=args.prior_weight,
                 max_depth=args.max_depth,
+                chunk=args.chunk,
                 smc_beta0=args.smc_beta0,
                 init_source=args.init_source,
                 output_prefix=f"{args.out.rstrip('/').split('/')[-1]}_tmp",

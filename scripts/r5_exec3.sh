@@ -20,7 +20,12 @@ run() {
 run 10 results/mcmc_foam/val64_log.txt \
   python scripts/mcmc_foam_study.py --run runs/val64 --examples 0 \
     --steps 448 --burnin 384 --chains 8 --max_depth 5 --samplers nuts \
-    --out results/mcmc_foam/val64
+    --chunk 16 --out results/mcmc_foam/val64
+
+run 18 results/mcmc_foam/r5_128_log.txt \
+  python scripts/mcmc_foam_study.py --run runs/foam_paper_run_r4 \
+    --examples 0 --steps 256 --burnin 224 --chains 8 --max_depth 5 \
+    --samplers nuts --chunk 16 --out results/mcmc_foam/r5_128
 
 run 13 results/serving/bench_infer_r5b.txt \
   python scripts/bench_infer.py --n 100 \
