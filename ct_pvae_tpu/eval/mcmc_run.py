@@ -358,6 +358,7 @@ def run_foam_mcmc(
 
             state = init
             step_size = None
+            da = None  # dual-averaging continuation (nuts.py da0)
             welford = (
                 jnp.zeros((), jnp.float32),
                 jnp.zeros((dim,), jnp.float32),
@@ -378,15 +379,17 @@ def run_foam_mcmc(
                 if accumulating:
                     _, d = nuts_sample(
                         log_prob, state, kc, accum_cfg,
-                        inv_mass0=inv_mass, step_size0=step_size, welford0=welford,
+                        inv_mass0=inv_mass, step_size0=step_size,
+                        welford0=welford, da0=da,
                     )
                     welford = d["welford"]
                 else:
                     _, d = nuts_sample(
                         log_prob, state, kc, warm_cfg,
-                        inv_mass0=inv_mass, step_size0=step_size,
+                        inv_mass0=inv_mass, step_size0=step_size, da0=da,
                     )
                 state, step_size = d["final_state"], d["final_step_size"]
+                da = d["da"]
                 if install_at is not None and ci + 1 == install_at:
                     # host-side install: pooled chain variance shrunk toward
                     # the physics-informed metric (Stan's regularized window
@@ -402,6 +405,7 @@ def run_foam_mcmc(
                             ),
                             jnp.float32,
                         )
+                        da = None  # new metric: restart step-size adaptation
 
             def draw_chunk(st, k, ss):
                 return nuts_sample(

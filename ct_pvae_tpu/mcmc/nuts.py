@@ -353,6 +353,14 @@ def nuts_sample(
     inv_mass0: Array = None,   # (D,) continuation metric (default: identity)
     step_size0: Array = None,  # scalar continuation step size (default: cfg)
     welford0: Tuple[Array, Array, Array] = None,  # (count, mean (D,), m2 (D,))
+    da0: Tuple[Array, Array, Array, Array] = None,
+    # (log_eps_avg, h_avg, da_m, mu) — dual-averaging continuation.  Without
+    # it every chunk RESTARTS Hoffman-Gelman dual averaging (m=1, fresh
+    # anchor at 10x the incoming step): at 16-64-step chunks the schedule
+    # never leaves its transient, and the per-chunk overshoot ratchets the
+    # step downward across chunks (measured: 5e-6 final step at 64^2/chunk16
+    # where a single 448-step call adapts to 5e-2).  Chunked drivers must
+    # thread diag["da"] back in, exactly like step_size0/welford0.
 ) -> Tuple[Array, dict]:
     """Run NUTS with dual-averaging + mass-matrix warmup; returns
     (samples (T, C, D), diagnostics).
@@ -470,14 +478,24 @@ def nuts_sample(
         )
     else:
         wf = tuple(jnp.asarray(v, jnp.float32) for v in welford0)
+    if da0 is None:
+        da_init = (log_eps0, jnp.float32(0.0), jnp.int32(0),
+                   jnp.log(10.0) + log_eps0)
+    else:
+        da_init = (
+            jnp.asarray(da0[0], jnp.float32),
+            jnp.asarray(da0[1], jnp.float32),
+            jnp.asarray(da0[2], jnp.int32),
+            jnp.asarray(da0[3], jnp.float32),
+        )
     init = Carry(
         z=init_state,
         key=key,
         log_eps=log_eps0,
-        log_eps_avg=log_eps0,
-        h_avg=jnp.float32(0.0),
-        da_m=jnp.int32(0),
-        mu=jnp.log(10.0) + log_eps0,
+        log_eps_avg=da_init[0],
+        h_avg=da_init[1],
+        da_m=da_init[2],
+        mu=da_init[3],
         inv_mass=im0,
         w_count=wf[0],
         w_mean=wf[1],
@@ -490,4 +508,5 @@ def nuts_sample(
         "inv_mass": final.inv_mass,
         "final_state": final.z,
         "welford": (final.w_count, final.w_mean, final.w_m2),
+        "da": (final.log_eps_avg, final.h_avg, final.da_m, final.mu),
     }
