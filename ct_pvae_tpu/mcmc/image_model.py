@@ -30,7 +30,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import jax.scipy as jsp
 import numpy as np
 
 from ..ops.radon import num_proj_pixels, radon
@@ -178,10 +177,19 @@ def make_image_log_prob(
         # test becomes cancellation noise, dual averaging collapses the step
         # to ~1e-6, and chains freeze (the r4 'local refinement' pathology;
         # healthy at 32^2 where the sum is small, broken at 64^2+).
+        # Conditioning detail that decides TPU sampling (measured via
+        # scripts/mcmc_numerics_probe.py): writing the ratio term as
+        # xlogy(k, rate) - xlogy(k, k) evaluates log at arguments ~1e4,
+        # and the TPU's ~1e-6-relative transcendental error is amplified
+        # by k~1e4 into O(1-10) noise per 32-step trajectory — the MH
+        # accept test then fails at any useful step size (CPU leapfrog
+        # Delta-H at eps=1e-3: -2.0; TPU same code: +4.8 of pure noise).
+        # k*log1p((rate-k)/k) is the same value with the log evaluated at
+        # a SMALL argument, so the amplification vanishes.
+        diff = rate - counts
+        u = diff / jnp.maximum(counts, 1.0)
         loglik = jnp.sum(
-            jsp.special.xlogy(counts, rate)
-            - jsp.special.xlogy(counts, jnp.maximum(counts, 1e-30))
-            - (rate - counts)
+            jnp.where(counts > 0, counts * jnp.log1p(u) - diff, -rate)
         )
         return (
             loglik
