@@ -37,6 +37,8 @@ def _enable_persistent_compile_cache() -> None:
     """
     import os as _os
 
+    if _os.environ.get("CT_PVAE_NO_COMPILE_CACHE"):
+        return
     try:
         import jax as _jax
 
